@@ -1,0 +1,64 @@
+#!/usr/bin/env python
+"""Headline benchmark: guided sample generation throughput.
+
+Reference baseline (BASELINE.md): a batch of 4 conditioned videos, DDPM 256
+steps, classifier-free guidance w=5, takes ~1 minute on an RTX 6000
+=> 4 videos/min. This benchmark runs the identical workload (paper-config
+UNet3D, 3x11x96x96, 256 ancestral steps, CFG pair folded into one batched
+forward) on one TPU chip and reports videos/min/chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+BASELINE_VIDEOS_PER_MIN = 4.0   # README.md:53 (RTX 6000)
+BATCH = 4
+GUIDANCE = 5.0
+
+
+def main():
+    from videometamaterials_tpu.config import ModelConfig
+    from videometamaterials_tpu.diffusion import GaussianDiffusion
+    from videometamaterials_tpu.models import UNet3D
+
+    cfg = ModelConfig()                      # paper config, DDPM 256/256
+    model = UNet3D.from_config(cfg)
+    diffusion = GaussianDiffusion.from_config(model, cfg)
+
+    rng = jax.random.PRNGKey(0)
+    x = jnp.zeros((1, cfg.num_frames, cfg.image_size, cfg.image_size,
+                   cfg.channels), jnp.float32)
+    params = jax.jit(model.init)(rng, x, jnp.zeros((1,), jnp.int32),
+                                 jnp.zeros((1, cfg.num_frames)))
+
+    cond = jax.random.uniform(rng, (BATCH, cfg.num_frames), jnp.float32,
+                              -1.0, 1.0)
+    sample = jax.jit(
+        lambda p, r, c: diffusion.sample(p, r, c, guidance_scale=GUIDANCE))
+
+    # warmup/compile
+    jax.block_until_ready(sample(params, rng, cond))
+
+    n_runs = 3
+    t0 = time.perf_counter()
+    for i in range(n_runs):
+        out = sample(params, jax.random.fold_in(rng, i), cond)
+    jax.block_until_ready(out)
+    elapsed = (time.perf_counter() - t0) / n_runs
+
+    videos_per_min = BATCH * 60.0 / elapsed
+    print(json.dumps({
+        "metric": "guided_videos_per_min_per_chip",
+        "value": round(videos_per_min, 2),
+        "unit": "videos/min",
+        "vs_baseline": round(videos_per_min / BASELINE_VIDEOS_PER_MIN, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

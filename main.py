@@ -1,0 +1,103 @@
+#!/usr/bin/env python
+"""Entry point: train + guided target evaluation.
+
+CLI re-design of the reference main.py:9-121 (which uses a hardcoded
+user-input block): run-dir management with per-run config snapshot, model /
+diffusion / trainer construction, training, then eval_target on the published
+target stress-strain curves.
+
+Usage:
+    python main.py --run-name my_run --data-root ./data
+    python main.py --run-name pretrained --load-model-step 200000
+"""
+
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+
+from videometamaterials_tpu.config import (
+    ModelConfig,
+    TrainerConfig,
+    load_model_yaml,
+    snapshot_run_config,
+)
+
+
+def build(config: ModelConfig, trainer_cfg: TrainerConfig, data_dir: str,
+          data_dir_validation: str, run_dir: str, run_name: str):
+    # imports deferred so --help stays fast
+    from videometamaterials_tpu.diffusion import GaussianDiffusion
+    from videometamaterials_tpu.models import UNet3D
+    from videometamaterials_tpu.training import Trainer
+
+    model = UNet3D.from_config(config)
+    diffusion = GaussianDiffusion.from_config(model, config)
+    trainer = Trainer(
+        diffusion, config, trainer_cfg,
+        folder=data_dir, validation_folder=data_dir_validation,
+        results_folder=run_dir, run_name=run_name)
+    return trainer
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--run-name", default="pretrained")
+    p.add_argument("--load-model-step", type=int, default=None)
+    p.add_argument("--num-preds", type=int, default=1)
+    p.add_argument("--guidance-scale", type=float, default=5.0)
+    p.add_argument("--data-root", default="./data")
+    p.add_argument("--runs-root", default="./runs")
+    p.add_argument("--config", default="model.yaml")
+    p.add_argument("--target-labels", default=None,
+                   help="CSV of target responses (default data/target_responses.csv)")
+    p.add_argument("--train-num-steps", type=int, default=200_000)
+    p.add_argument("--save-and-sample-every", type=int, default=10_000)
+    p.add_argument("--num-samples", type=int, default=3)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--no-log", action="store_true")
+    p.add_argument("--skip-train", action="store_true")
+    args = p.parse_args(argv)
+
+    run_dir = Path(args.runs_root) / args.run_name
+    cfg_snapshot = run_dir / "model" / "model.yaml"
+    if run_dir.exists() and cfg_snapshot.exists():
+        if args.load_model_step is None:
+            print("Directory already exists, please change run_name to train "
+                  "new model or provide load_model_step")
+            return 1
+        config = load_model_yaml(cfg_snapshot)     # resume with frozen config
+    else:
+        config = load_model_yaml(args.config)
+        snapshot_run_config(config, run_dir)
+
+    trainer_cfg = TrainerConfig(
+        train_num_steps=args.train_num_steps,
+        save_and_sample_every=args.save_and_sample_every,
+        guidance_scale=args.guidance_scale,
+        num_preds=args.num_preds,
+        num_samples=args.num_samples,
+        seed=args.seed,
+        log=not args.no_log,
+    )
+
+    data_root = Path(args.data_root)
+    data_dir = data_root / config.reference_frame / "training"
+    data_dir_validation = data_root / config.reference_frame / "validation"
+    target_labels = args.target_labels or str(data_root /
+                                              "target_responses.csv")
+
+    trainer = build(config, trainer_cfg, str(data_dir),
+                    str(data_dir_validation), str(run_dir), args.run_name)
+    if not args.skip_train:
+        trainer.train(load_model_step=args.load_model_step,
+                      num_samples=args.num_samples, num_preds=args.num_preds)
+    elif args.load_model_step is not None:
+        trainer.load(args.load_model_step)
+    trainer.eval_target(target_labels, guidance_scale=args.guidance_scale,
+                        num_preds=args.num_preds)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

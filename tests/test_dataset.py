@@ -1,0 +1,87 @@
+"""Dataset contract tests on a synthetic GIF dataset (layout + renorm recipe
+parity with vddp.py:1126-1397)."""
+
+import numpy as np
+import pytest
+
+from videometamaterials_tpu.data.dataset import VideoDataset, interpolate_labels
+from videometamaterials_tpu.data.synthetic import make_synthetic_dataset
+
+
+@pytest.fixture(scope="module")
+def synth(tmp_path_factory):
+    folder = tmp_path_factory.mktemp("data") / "train"
+    make_synthetic_dataset(folder, num_samples=4, image_size=24, num_frames=5)
+    return folder
+
+
+def _ds(folder, **kw):
+    defaults = dict(image_size=24, selected_channels=[0, 1, 3], num_frames=5,
+                    per_frame_cond=True, reference_frame="lagrangian")
+    defaults.update(kw)
+    return VideoDataset(folder, **defaults)
+
+
+def test_shapes_and_ranges(synth):
+    ds = _ds(synth)
+    assert len(ds) == 4
+    v, l = ds[0]
+    assert v.shape == (5, 24, 24, 3)
+    assert l.shape == (5,)
+    assert v.min() >= -1e-6 and v.max() <= 1.0 + 1e-6
+    # labels normalized to [-1, 1] via global-min-max-2
+    assert ds.labels.min() >= -1.0 - 1e-6 and ds.labels.max() <= 1.0 + 1e-6
+
+
+def test_min_max_values_csv_written(synth):
+    _ds(synth)
+    lines = (synth / "min_max_values.csv").read_text().strip().splitlines()
+    keys = [l.split(",")[0] for l in lines]
+    assert keys == ["min_u_1", "max_u_1", "min_u_2", "max_u_2",
+                    "max_s_mises", "min_s_22", "max_s_22",
+                    "max_strain_energy"]
+
+
+def test_void_pixels_are_field_zero(synth):
+    """After the unnorm->mask->renorm recipe, void pixels must sit exactly at
+    the normalized physical-zero value of each channel."""
+    ds = _ds(synth, selected_channels=[0, 1, 2, 3])
+    v, _ = ds[1]
+    from videometamaterials_tpu.data.gif_io import gif_to_array
+    topo = gif_to_array(synth / "gifs" / "topo" / "1.gif", 24,
+                        expected_frames=5).astype(np.float32) / 255.0
+    void = topo == 0
+    zero_u1 = (0 - ds.min_u_1) / (ds.max_u_1 - ds.min_u_1)
+    zero_u2 = (0 - ds.min_u_2) / (ds.max_u_2 - ds.min_u_2)
+    zero_s22 = (0 - ds.min_s_22) / (ds.max_s_22 - ds.min_s_22)
+    np.testing.assert_allclose(v[..., 0][void], zero_u1, atol=1e-5)
+    np.testing.assert_allclose(v[..., 1][void], zero_u2, atol=1e-5)
+    np.testing.assert_allclose(v[..., 2][void], 0.0, atol=1e-5)  # s_mises
+    np.testing.assert_allclose(v[..., 3][void], zero_s22, atol=1e-5)
+    assert ds.zero_u_2 == pytest.approx(zero_u2)
+
+
+def test_val_reuses_train_scaling(synth, tmp_path):
+    val_folder = tmp_path / "val"
+    make_synthetic_dataset(val_folder, num_samples=2, image_size=24,
+                           num_frames=5, seed=99)
+    train = _ds(synth)
+    val = _ds(val_folder, labels_scaling=train.labels_scaling)
+    assert val.labels_scaling is train.labels_scaling
+
+
+def test_interpolate_labels_first_point_at_one_percent():
+    labels = np.linspace(0, 1, 51)[None, :]
+    out = interpolate_labels(labels, 11)
+    assert out.shape == (1, 11)
+    # first eval point at 1% of 0.2 strain -> value 0.01
+    np.testing.assert_allclose(out[0, 0], 0.01, atol=1e-6)
+    np.testing.assert_allclose(out[0, -1], 1.0, atol=1e-6)
+
+
+def test_batch_matches_item(synth):
+    ds = _ds(synth)
+    vb, lb = ds.get_batch([0, 2])
+    v0, l0 = ds[0]
+    np.testing.assert_allclose(vb[0], v0)
+    np.testing.assert_allclose(lb[0], l0)

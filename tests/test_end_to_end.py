@@ -1,0 +1,109 @@
+"""Minimum end-to-end slice (SURVEY.md §7.2): synthetic data -> tiny UNet3D ->
+GaussianDiffusion -> a few sharded train steps -> guided sampling ->
+grid GIFs + geometries.csv through clean_pred. Exercises every layer."""
+
+import numpy as np
+import pytest
+
+from videometamaterials_tpu.config import ModelConfig, TrainerConfig
+from videometamaterials_tpu.data.synthetic import make_synthetic_dataset
+from videometamaterials_tpu.diffusion import GaussianDiffusion
+from videometamaterials_tpu.models import UNet3D
+from videometamaterials_tpu.training import Trainer
+
+IMG, FRAMES = 16, 3
+
+
+@pytest.fixture(scope="module")
+def tiny_run(tmp_path_factory):
+    root = tmp_path_factory.mktemp("e2e")
+    train_dir = root / "train"
+    val_dir = root / "val"
+    make_synthetic_dataset(train_dir, num_samples=6, image_size=IMG,
+                           num_frames=FRAMES, seed=0)
+    make_synthetic_dataset(val_dir, num_samples=2, image_size=IMG,
+                           num_frames=FRAMES, seed=1)
+
+    mcfg = ModelConfig(
+        batch_size=1, image_size=IMG, num_frames=FRAMES,
+        train_timesteps=8, sampling_timesteps=8,
+        unet_dim=8, dim_mults=(1, 2), unet_attn_heads=2,
+        unet_attn_dim_head=4, compute_dtype="float32")
+    tcfg = TrainerConfig(train_num_steps=3, save_and_sample_every=1000,
+                         test_batch_size=2, ema_start_step=1,
+                         ema_update_every=1, log=False, seed=0)
+    model = UNet3D.from_config(mcfg)
+    diffusion = GaussianDiffusion.from_config(model, mcfg)
+    trainer = Trainer(diffusion, mcfg, tcfg, train_dir, val_dir,
+                      results_folder=root / "runs" / "tiny", run_name="tiny")
+    return trainer, root
+
+
+def test_train_reduces_or_runs(tiny_run):
+    trainer, _ = tiny_run
+    trainer.train()
+    assert int(trainer.state.step) == trainer.tcfg.train_num_steps
+    # metrics were logged
+    lines = trainer._metrics_path.read_text().strip().splitlines()
+    assert len(lines) >= trainer.tcfg.train_num_steps
+
+
+def test_checkpoint_roundtrip(tiny_run):
+    trainer, _ = tiny_run
+    import jax
+    step = trainer.tcfg.train_num_steps
+    params_before = jax.device_get(trainer.state.params)
+    trainer.load(step)
+    params_after = jax.device_get(trainer.state.params)
+    jax.tree.map(np.testing.assert_allclose, params_before, params_after)
+
+
+def test_eval_network_and_artifacts(tiny_run):
+    trainer, root = tiny_run
+    val_loss = trainer.eval_network(num_samples=2, num_preds=2)
+    assert np.isfinite(val_loss)
+    step = int(trainer.state.step)
+    out = root / "runs" / "tiny" / "training" / f"step_{step}"
+    gifs = sorted((out / "gifs").glob("prediction_channel_*.gif"))
+    assert [g.name for g in gifs] == ["prediction_channel_0.gif",
+                                      "prediction_channel_1.gif",
+                                      "prediction_channel_3.gif"]
+    geoms = np.genfromtxt(out / "geometries.csv", delimiter=",")
+    assert geoms.shape == (4, (IMG // 2) ** 2)
+    assert set(np.unique(geoms)).issubset({0.0, 1.0})
+
+
+def test_eval_target(tiny_run, tmp_path):
+    trainer, root = tiny_run
+    targets = np.linspace(0, -1.5, 51)[None, :].repeat(2, axis=0)
+    tfile = tmp_path / "target_responses.csv"
+    np.savetxt(tfile, targets, delimiter=",")
+    out_dir = trainer.eval_target(tfile, guidance_scale=5.0, num_preds=1)
+    assert (out_dir / "geometries.csv").exists()
+    # second call increments the eval index (vddp.py:1770-1773)
+    out_dir2 = trainer.eval_target(tfile, guidance_scale=5.0, num_preds=1)
+    assert out_dir2 != out_dir
+    assert "_1" in str(out_dir2.parent)
+
+
+def test_cfg_batched_equals_sequential(tiny_run):
+    """Folded CFG forward must equal the reference's two sequential passes."""
+    import jax
+    import jax.numpy as jnp
+    trainer, _ = tiny_run
+    diffusion = trainer.diffusion
+    params = trainer.state.ema_params
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (2, FRAMES, IMG, IMG, 3))
+    t = jnp.array([3, 5])
+    cond = jax.random.normal(rng, (2, FRAMES))
+
+    fused = diffusion.guided_eps(params, x, t, cond, guidance_scale=5.0)
+    b = x.shape[0]
+    eps_c = diffusion.model.apply(params, x, t, cond,
+                                  null_cond_mask=jnp.zeros((b,), bool))
+    eps_n = diffusion.model.apply(params, x, t, cond,
+                                  null_cond_mask=jnp.ones((b,), bool))
+    want = eps_n + (eps_c - eps_n) * 5.0
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)

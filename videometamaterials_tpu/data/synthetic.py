@@ -1,0 +1,88 @@
+"""Synthetic dataset generator exercising the full directory/CSV/GIF contract
+of the reference data layout (SURVEY.md §2 M16) without FEM runs.
+
+Generates GRF-derived periodic unit cells and plausible (not physical)
+displacement/stress field videos, then writes:
+    <folder>/gifs/{topo,u_1,u_2,s_mises,s_22,ener}/<idx>.gif
+    <folder>/frame_range_data.csv
+    <folder>/stress_strain_data.csv
+Used by tests and the minimum end-to-end training slice (SURVEY.md §7.2).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+
+import imageio.v2 as imageio
+
+from videometamaterials_tpu.fem.grf import generate_geometry
+
+
+def _write_gif(video01: np.ndarray, path) -> None:
+    """imageio writer (keeps duplicate frames, unlike PIL which merges
+    identical consecutive frames) — matches how the reference data pipeline
+    writes channel GIFs (eval_abaqus.py:128-132)."""
+    frames = np.clip(np.round(video01 * 255.0), 0, 255).astype(np.uint8)
+    imageio.mimsave(str(path), list(frames), duration=0.2)
+
+
+def make_synthetic_dataset(folder: str | Path, num_samples: int = 8,
+                           image_size: int = 24, num_frames: int = 5,
+                           num_curve_points: int = 51, seed: int = 0) -> Path:
+    folder = Path(folder)
+    rng = np.random.default_rng(seed)
+    half = image_size // 2
+
+    for name in ("topo", "u_1", "u_2", "s_mises", "s_22", "ener"):
+        (folder / "gifs" / name).mkdir(parents=True, exist_ok=True)
+
+    frame_ranges = np.zeros((num_samples, 8))
+    curves = np.zeros((num_samples, num_curve_points))
+    strains = np.linspace(0, 0.2, num_curve_points)
+
+    for i in range(num_samples):
+        quarter = generate_geometry(3.0, half, 0.1, 0.4, rng=rng
+                                    ).reshape(half, half)
+        # 2-fold mirror to the periodic full cell (abaqus_script.py:302-312)
+        top = np.concatenate([quarter, np.flip(quarter, axis=0)], axis=0)
+        cell = np.concatenate([top, np.flip(top, axis=1)], axis=1)
+
+        yy, xx = np.mgrid[:image_size, :image_size] / image_size
+        t = np.linspace(0, 1, num_frames)[:, None, None]
+        stiffness = 0.5 + rng.uniform(0, 1.5)
+        u_1 = 0.05 * t * np.sin(2 * np.pi * xx)[None] * cell[None]
+        u_2 = -0.2 * t * (1 - yy)[None] * cell[None]
+        s_22 = -stiffness * t * (0.5 + 0.5 * np.cos(2 * np.pi * xx))[None] \
+            * cell[None]
+        s_mises = np.abs(s_22) * (0.8 + 0.4 * yy[None])
+        ener = 0.5 * np.abs(s_22) * 0.2 * t
+
+        fields = {"u_1": u_1, "u_2": u_2, "s_mises": s_mises, "s_22": s_22,
+                  "ener": ener}
+        ranges = [u_1.min(), u_1.max(), u_2.min(), u_2.max(),
+                  s_mises.max(), s_22.min(), s_22.max(), ener.max()]
+        frame_ranges[i] = ranges
+
+        def norm01(a, lo, hi):
+            return (a - lo) / (hi - lo) if hi > lo else np.zeros_like(a)
+
+        _write_gif(np.repeat(cell[None].astype(np.float32), num_frames, 0),
+                   folder / "gifs" / "topo" / f"{i}.gif")
+        _write_gif(norm01(u_1, ranges[0], ranges[1]),
+                     folder / "gifs" / "u_1" / f"{i}.gif")
+        _write_gif(norm01(u_2, ranges[2], ranges[3]),
+                     folder / "gifs" / "u_2" / f"{i}.gif")
+        _write_gif(norm01(s_mises, 0, ranges[4]),
+                     folder / "gifs" / "s_mises" / f"{i}.gif")
+        _write_gif(norm01(s_22, ranges[5], ranges[6]),
+                     folder / "gifs" / "s_22" / f"{i}.gif")
+        _write_gif(norm01(ener, 0, ranges[7]),
+                     folder / "gifs" / "ener" / f"{i}.gif")
+
+        curves[i] = -stiffness * strains * (1 + 0.5 * strains)
+
+    np.savetxt(folder / "frame_range_data.csv", frame_ranges, delimiter=",")
+    np.savetxt(folder / "stress_strain_data.csv", curves, delimiter=",")
+    return folder

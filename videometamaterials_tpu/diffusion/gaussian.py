@@ -1,0 +1,283 @@
+"""Gaussian diffusion process: forward noising, training loss, DDPM/DDIM
+samplers with classifier-free guidance and dynamic thresholding.
+
+Re-design of the reference GaussianDiffusion (vddp.py:841-1067) as a pure
+functional layer over a (model, schedule) pair:
+
+  - the T-step ancestral/DDIM loops are single `lax.scan`s under jit — no
+    host round-trips between steps (SURVEY.md §7.3 item 3);
+  - the CFG pair (conditional + null forward, vddp.py:723-727) is folded into
+    ONE batched model call with batch 2B;
+  - randomness is explicit: every entry point takes a PRNG key;
+  - videos are (B, F, H, W, C) channels-last, [0,1] at the API boundary and
+    [-1,1] internally (normalize/unnormalize_img, vddp.py:1109-1113).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+
+from videometamaterials_tpu.ops.schedules import (
+    DiffusionSchedule,
+    extract,
+    make_schedule,
+)
+
+
+def normalize_img(x):
+    return x * 2.0 - 1.0
+
+
+def unnormalize_img(x):
+    return (x + 1.0) * 0.5
+
+
+@dataclass(frozen=True)
+class GaussianDiffusion:
+    """Static configuration + schedule; all methods are pure and jittable."""
+
+    model: Any                      # UNet3D (flax module, static pytree)
+    image_size: int
+    num_frames: int
+    channels: int = 4
+    timesteps: int = 1000
+    loss_type: str = "l1"
+    use_dynamic_thres: bool = False
+    dynamic_thres_percentile: float = 0.9
+    sampling_timesteps: Optional[int] = None
+    ddim_sampling_eta: float = 0.0
+    schedule: DiffusionSchedule = field(default=None)
+
+    def __post_init__(self):
+        if self.schedule is None:
+            object.__setattr__(self, "schedule", make_schedule(self.timesteps))
+        st = self.sampling_timesteps or self.timesteps
+        assert st <= self.timesteps
+        object.__setattr__(self, "sampling_timesteps", st)
+
+    # ------------------------------------------------------------------ util
+    @property
+    def is_ddim_sampling(self) -> bool:
+        return self.sampling_timesteps < self.timesteps   # vddp.py:911
+
+    def _video_shape(self, batch):
+        return (batch, self.num_frames, self.image_size, self.image_size,
+                self.channels)
+
+    # -------------------------------------------------------------- q process
+    def q_sample(self, x_start, t, noise):
+        """Forward noising q(x_t | x_0) (vddp.py:1036-1042)."""
+        s = self.schedule
+        nd = x_start.ndim
+        return (extract(s.sqrt_alphas_cumprod, t, nd) * x_start
+                + extract(s.sqrt_one_minus_alphas_cumprod, t, nd) * noise)
+
+    def predict_start_from_noise(self, x_t, t, noise):
+        s = self.schedule
+        nd = x_t.ndim
+        return (extract(s.sqrt_recip_alphas_cumprod, t, nd) * x_t
+                - extract(s.sqrt_recipm1_alphas_cumprod, t, nd) * noise)
+
+    def q_posterior(self, x_start, x_t, t):
+        s = self.schedule
+        nd = x_t.ndim
+        mean = (extract(s.posterior_mean_coef1, t, nd) * x_start
+                + extract(s.posterior_mean_coef2, t, nd) * x_t)
+        var = extract(s.posterior_variance, t, nd)
+        log_var = extract(s.posterior_log_variance_clipped, t, nd)
+        return mean, var, log_var
+
+    # ----------------------------------------------------------------- model
+    def guided_eps(self, params, x, t, cond, guidance_scale: float):
+        """Classifier-free-guided noise prediction. Folds the two forwards of
+        vddp.py:715-728 into one model call on a doubled batch."""
+        b = x.shape[0]
+        if guidance_scale == 1.0:
+            return self.model.apply(
+                params, x, t, cond,
+                null_cond_mask=jnp.zeros((b,), dtype=bool))
+        x2 = jnp.concatenate([x, x], axis=0)
+        t2 = jnp.concatenate([t, t], axis=0)
+        cond2 = jnp.concatenate([cond, cond], axis=0)
+        mask2 = jnp.concatenate(
+            [jnp.zeros((b,), dtype=bool), jnp.ones((b,), dtype=bool)], axis=0)
+        eps2 = self.model.apply(params, x2, t2, cond2, null_cond_mask=mask2)
+        eps_cond, eps_null = jnp.split(eps2, 2, axis=0)
+        return eps_null + (eps_cond - eps_null) * guidance_scale
+
+    def _maybe_threshold(self, x_recon):
+        """Static ('clip to [-1,1]') or dynamic (Imagen) thresholding of the
+        reconstructed x0 (vddp.py:938-951)."""
+        if not self.use_dynamic_thres:
+            return jnp.clip(x_recon, -1.0, 1.0)
+        flat = jnp.abs(x_recon.reshape(x_recon.shape[0], -1))
+        s = jnp.quantile(flat, self.dynamic_thres_percentile, axis=-1)
+        s = jnp.maximum(s, 1.0)
+        s = s.reshape(-1, *((1,) * (x_recon.ndim - 1)))
+        return jnp.clip(x_recon, -s, s) / s
+
+    def p_mean_variance(self, params, x, t, cond, guidance_scale,
+                        clip_denoised: bool = True):
+        eps = self.guided_eps(params, x, t, cond, guidance_scale)
+        x_recon = self.predict_start_from_noise(x, t, eps)
+        if clip_denoised:
+            x_recon = self._maybe_threshold(x_recon)
+        return self.q_posterior(x_recon, x, t)
+
+    # --------------------------------------------------------------- samplers
+    def p_sample(self, params, rng, x, t, cond, guidance_scale):
+        """One ancestral step (vddp.py:956-963). t: (b,) int array."""
+        mean, _, log_var = self.p_mean_variance(params, x, t, cond,
+                                                guidance_scale)
+        noise = jax.random.normal(rng, x.shape, x.dtype)
+        nonzero = (t > 0).astype(x.dtype).reshape(-1, *((1,) * (x.ndim - 1)))
+        return mean + nonzero * jnp.exp(0.5 * log_var) * noise
+
+    def p_sample_loop(self, params, rng, shape, cond, guidance_scale):
+        """Full T-step ancestral chain as one lax.scan (vddp.py:965-975)."""
+        b = shape[0]
+        rng, init_rng = jax.random.split(rng)
+        img0 = jax.random.normal(init_rng, shape, jnp.float32)
+
+        def step(carry, t_scalar):
+            img, key = carry
+            key, sub = jax.random.split(key)
+            t_vec = jnp.full((b,), t_scalar, dtype=jnp.int32)
+            img = self.p_sample(params, sub, img, t_vec, cond, guidance_scale)
+            return (img, key), None
+
+        ts = jnp.arange(self.timesteps - 1, -1, -1)
+        (img, _), _ = jax.lax.scan(step, (img0, rng), ts)
+        return unnormalize_img(img)
+
+    def ddim_sample(self, params, rng, shape, cond, guidance_scale):
+        """DDIM sampler (vddp.py:986-1018), eta-noise optional, as lax.scan."""
+        import numpy as np
+
+        b = shape[0]
+        total, steps, eta = (self.timesteps, self.sampling_timesteps,
+                             self.ddim_sampling_eta)
+        times = np.linspace(-1, total - 1, num=steps + 1).astype(np.int64)
+        times = list(reversed(times.tolist()))
+        pairs = np.asarray(list(zip(times[:-1], times[1:])), dtype=np.int32)
+
+        rng, init_rng = jax.random.split(rng)
+        img0 = jax.random.normal(init_rng, shape, jnp.float32)
+        abar = self.schedule.alphas_cumprod
+
+        def step(carry, pair):
+            img, key = carry
+            key, sub = jax.random.split(key)
+            t_now, t_next = pair[0], pair[1]
+            t_vec = jnp.full((b,), t_now, dtype=jnp.int32)
+            eps = self.guided_eps(params, img, t_vec, cond, guidance_scale)
+            x_start = self.predict_start_from_noise(img, t_vec, eps)
+
+            alpha = abar[t_now]
+            alpha_next = jnp.where(t_next >= 0, abar[jnp.maximum(t_next, 0)],
+                                   1.0)
+            sigma = eta * jnp.sqrt((1 - alpha / alpha_next)
+                                   * (1 - alpha_next) / (1 - alpha))
+            c = jnp.sqrt(jnp.maximum(1.0 - alpha_next - sigma ** 2, 0.0))
+            noise = jax.random.normal(sub, img.shape, img.dtype)
+            img_next = (x_start * jnp.sqrt(alpha_next) + c * eps
+                        + sigma * noise)
+            img = jnp.where(t_next < 0, x_start, img_next)
+            return (img, key), None
+
+        (img, _), _ = jax.lax.scan(step, (img0, rng), jnp.asarray(pairs))
+        return unnormalize_img(img)
+
+    def sample(self, params, rng, cond, guidance_scale: float = 1.0,
+               batch_size: int = 16):
+        """Dispatch DDPM vs DDIM by sampling_timesteps (vddp.py:977-984).
+        Returns videos in [0, 1], shape (b, F, H, W, C)."""
+        b = cond.shape[0] if cond is not None else batch_size
+        shape = self._video_shape(b)
+        fn = self.ddim_sample if self.is_ddim_sampling else self.p_sample_loop
+        return fn(params, rng, shape, cond, guidance_scale)
+
+    def interpolate(self, params, rng, x1, x2, t: Optional[int] = None,
+                    lam: float = 0.5, guidance_scale: float = 1.0,
+                    cond=None):
+        """Latent interpolation (vddp.py:1020-1034): noise both inputs to
+        step t, mix, then ancestrally denoise t steps."""
+        t = self.timesteps - 1 if t is None else t
+        b = x1.shape[0]
+        rng, n1, n2 = jax.random.split(rng, 3)
+        t_b = jnp.full((b,), t, dtype=jnp.int32)
+        xt1 = self.q_sample(x1, t_b, jax.random.normal(n1, x1.shape, x1.dtype))
+        xt2 = self.q_sample(x2, t_b, jax.random.normal(n2, x2.shape, x2.dtype))
+        img0 = (1 - lam) * xt1 + lam * xt2
+
+        if cond is None:
+            cond = jnp.zeros((b, self.num_frames), jnp.float32)
+
+        def step(carry, t_scalar):
+            img, key = carry
+            key, sub = jax.random.split(key)
+            t_vec = jnp.full((b,), t_scalar, dtype=jnp.int32)
+            img = self.p_sample(params, sub, img, t_vec, cond, guidance_scale)
+            return (img, key), None
+
+        ts = jnp.arange(t - 1, -1, -1)
+        (img, _), _ = jax.lax.scan(step, (img0, rng), ts)
+        return img
+
+    # ------------------------------------------------------------------ loss
+    def p_losses(self, params, rng, x_start, t, cond, null_cond_prob=0.0,
+                 focus_present_mask=None, prob_focus_present=0.0):
+        """epsilon-prediction loss (vddp.py:1044-1060)."""
+        noise_rng, mask_rng, focus_rng = jax.random.split(rng, 3)
+        noise = jax.random.normal(noise_rng, x_start.shape, x_start.dtype)
+        x_noisy = self.q_sample(x_start, t, noise)
+
+        b = x_start.shape[0]
+        null_mask = jax.random.bernoulli(mask_rng, null_cond_prob, (b,))
+        if focus_present_mask is None and prob_focus_present > 0:
+            focus_present_mask = jax.random.bernoulli(
+                focus_rng, prob_focus_present, (b,))
+
+        eps_hat = self.model.apply(params, x_noisy, t, cond,
+                                   null_cond_mask=null_mask,
+                                   focus_present_mask=focus_present_mask)
+        if self.loss_type == "l1":
+            return jnp.mean(jnp.abs(noise - eps_hat))
+        if self.loss_type == "l2":
+            return jnp.mean(jnp.square(noise - eps_hat))
+        raise NotImplementedError(self.loss_type)
+
+    def loss(self, params, rng, x, cond, null_cond_prob=0.0,
+             focus_present_mask=None, prob_focus_present=0.0):
+        """Training objective on [0,1] videos: draw t ~ U[0,T), map to [-1,1]
+        (vddp.py:1062-1067)."""
+        b, f, h, w, c = x.shape
+        assert (c, f, h, w) == (self.channels, self.num_frames,
+                                self.image_size, self.image_size), (
+            f"bad video shape {x.shape}")
+        t_rng, loss_rng = jax.random.split(rng)
+        t = jax.random.randint(t_rng, (b,), 0, self.timesteps)
+        return self.p_losses(params, loss_rng, normalize_img(x), t, cond,
+                             null_cond_prob=null_cond_prob,
+                             focus_present_mask=focus_present_mask,
+                             prob_focus_present=prob_focus_present)
+
+    @classmethod
+    def from_config(cls, model, cfg) -> "GaussianDiffusion":
+        """Mirror of main.py:82-91."""
+        return cls(
+            model=model,
+            image_size=cfg.image_size,
+            num_frames=cfg.num_frames,
+            channels=len(cfg.selected_channels),
+            timesteps=cfg.train_timesteps,
+            loss_type=cfg.loss_type,
+            use_dynamic_thres=cfg.use_dynamic_thres,
+            dynamic_thres_percentile=cfg.dynamic_thres_percentile,
+            sampling_timesteps=cfg.sampling_timesteps,
+            ddim_sampling_eta=cfg.ddim_sampling_eta,
+        )

@@ -1,0 +1,636 @@
+"""Factorized video U-Net denoiser, TPU-native.
+
+Re-design of the reference Unet3D (vddp.py:574-821) with identical math but a
+TPU-first execution plan:
+
+  - channels-last (B, F, H, W, C) video layout; pseudo-3D convs run as 2D NHWC
+    convolutions with frames folded into batch (MXU-tiled by XLA);
+  - temporal attention operates on (B, H*W, F, C), spatial attention on
+    (B, F, H*W, C) — pure batched einsums, no einops round-trips;
+  - fp32 parameters, bf16 activations, fp32 norms/softmax;
+  - rotary tables and T5 bucket tables are compile-time constants;
+  - classifier-free guidance takes an explicit per-sample `null_cond_mask`
+    (functional replacement of the Bernoulli sampling at vddp.py:749) so the
+    CFG pair can be folded into one batched forward at sampling time.
+
+Feature parity (SURVEY.md §2 M2, M4-M12): per-frame conditioning tokens +
+mean-pooled hidden, learned null token/hidden, self-stacked and
+cross-attention conditioning, spatial linear attention, relative position
+bias slicing, rotary on conditioning keys, focus-present masking, the three
+padding modes, and the ablation-only CNN/GRU signal embeddings.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from videometamaterials_tpu.ops.attention import (
+    linear_attention,
+    stacked_softmax_attention,
+)
+from videometamaterials_tpu.ops.conv import (
+    conv1x1,
+    conv2d_spatial,
+    conv_transpose2d_spatial,
+)
+from videometamaterials_tpu.ops.norms import channel_layer_norm, group_norm
+from videometamaterials_tpu.ops.rotary import apply_rotary, rotary_frequencies
+from videometamaterials_tpu.models.embeddings import (
+    RelativePositionBias,
+    SignalEmbedding,
+    SinusoidalPosEmb,
+)
+
+_KERNEL_INIT = nn.initializers.lecun_normal()
+
+
+def _dense(features, name, use_bias=True, dtype=jnp.float32):
+    return nn.Dense(features, use_bias=use_bias, dtype=dtype,
+                    param_dtype=jnp.float32, name=name)
+
+
+class Block(nn.Module):
+    """Conv(1,3,3) + GroupNorm + optional FiLM + SiLU (vddp.py:267-285)."""
+
+    dim_out: int
+    groups: int = 8
+    padding_mode: str = "zeros"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, scale_shift=None):
+        cin = x.shape[-1]
+        kernel = self.param("conv_kernel", _KERNEL_INIT, (3, 3, cin, self.dim_out),
+                            jnp.float32)
+        bias = self.param("conv_bias", nn.initializers.zeros, (self.dim_out,),
+                          jnp.float32)
+        x = conv2d_spatial(x.astype(self.dtype), kernel, bias,
+                           padding_mode=self.padding_mode)
+        gn_scale = self.param("gn_scale", nn.initializers.ones, (self.dim_out,),
+                              jnp.float32)
+        gn_bias = self.param("gn_bias", nn.initializers.zeros, (self.dim_out,),
+                             jnp.float32)
+        x = group_norm(x, gn_scale, gn_bias, self.groups)
+        if scale_shift is not None:
+            scale, shift = scale_shift
+            x = x * (scale[:, None, None, None, :].astype(x.dtype) + 1) \
+                + shift[:, None, None, None, :].astype(x.dtype)
+        return nn.silu(x)
+
+
+class ResnetBlock(nn.Module):
+    """Two Blocks + 1x1 skip; FiLM scale/shift from the time+cond embedding
+    (vddp.py:287-311)."""
+
+    dim_out: int
+    time_emb_dim: Optional[int] = None
+    groups: int = 8
+    padding_mode: str = "zeros"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, time_emb=None):
+        scale_shift = None
+        if self.time_emb_dim is not None:
+            assert time_emb is not None, "time emb must be passed in"
+            h_emb = _dense(self.dim_out * 2, "time_mlp")(nn.silu(
+                time_emb.astype(jnp.float32)))
+            scale_shift = jnp.split(h_emb, 2, axis=-1)
+
+        h = Block(self.dim_out, self.groups, self.padding_mode, self.dtype,
+                  name="block1")(x, scale_shift=scale_shift)
+        h = Block(self.dim_out, self.groups, self.padding_mode, self.dtype,
+                  name="block2")(h)
+
+        if x.shape[-1] != self.dim_out:
+            res_kernel = self.param("res_kernel", _KERNEL_INIT,
+                                    (x.shape[-1], self.dim_out), jnp.float32)
+            res_bias = self.param("res_bias", nn.initializers.zeros,
+                                  (self.dim_out,), jnp.float32)
+            x = conv1x1(x.astype(self.dtype), res_kernel, res_bias)
+        return h + x.astype(h.dtype)
+
+
+class Attention(nn.Module):
+    """Shared full-softmax attention for temporal and spatial axes
+    (vddp.py:396-535). Input x: (b, s, n, c) where s is the folded batch-like
+    axis ((h w) for temporal, f for mid spatial) and n the token axis."""
+
+    dim: int
+    heads: int = 4
+    dim_head: int = 32
+    use_rotary: bool = False
+    cond_attention: str = "none"
+    cond_dim: int = 64
+    per_frame_cond: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, pos_bias=None, focus_present_mask=None,
+                 label_emb=None):
+        b, s, n, _ = x.shape
+        hidden = self.heads * self.dim_head
+        scale = self.dim_head ** -0.5
+        x = x.astype(self.dtype)
+
+        rot_freqs = None
+        if self.use_rotary:
+            rot_freqs = jnp.asarray(
+                rotary_frequencies(n, min(32, self.dim_head)))
+
+        def split_heads(t):  # (b, s, m, hidden) -> (b, s, heads, m, d)
+            m = t.shape[2]
+            return t.reshape(b, s, m, self.heads, self.dim_head).transpose(
+                0, 1, 3, 2, 4)
+
+        cond_used = self.cond_attention != "none" and label_emb is not None
+
+        if self.cond_attention == "cross-attention" and cond_used:
+            q = split_heads(_dense(hidden, "to_q", use_bias=False,
+                                   dtype=self.dtype)(x))
+            ek = _dense(hidden, "to_k", use_bias=False, dtype=self.dtype)(
+                label_emb.astype(self.dtype))
+            ev = _dense(hidden, "to_v", use_bias=False, dtype=self.dtype)(
+                label_emb.astype(self.dtype))
+            # (b, t, hidden) -> (b, s, heads, t, d)
+            k = split_heads(jnp.broadcast_to(
+                ek[:, None], (b, s, ek.shape[1], hidden)))
+            v = split_heads(jnp.broadcast_to(
+                ev[:, None], (b, s, ev.shape[1], hidden)))
+            if rot_freqs is not None:
+                q = apply_rotary(q, rot_freqs)
+            sim_has_video_block = False
+        else:
+            qkv = _dense(hidden * 3, "to_qkv", use_bias=False,
+                         dtype=self.dtype)(x)
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+            q, k, v = split_heads(q), split_heads(k), split_heads(v)
+            if rot_freqs is not None:
+                k = apply_rotary(k, rot_freqs)
+
+            if cond_used:  # 'self-stacked'
+                ek = _dense(hidden, "to_k", use_bias=False, dtype=self.dtype)(
+                    label_emb.astype(self.dtype))
+                ev = _dense(hidden, "to_v", use_bias=False, dtype=self.dtype)(
+                    label_emb.astype(self.dtype))
+                if pos_bias is None and self.per_frame_cond:
+                    # spatial attention, per-frame alignment: one cond token
+                    # per frame; s == num_frames (vddp.py:459-462)
+                    assert ek.shape[1] == s, (
+                        "per-frame cond tokens must align with frame axis")
+                    ek = ek.reshape(b, s, 1, hidden)
+                    ev = ev.reshape(b, s, 1, hidden)
+                    ek = ek.reshape(b, s, 1, self.heads, self.dim_head
+                                    ).transpose(0, 1, 3, 2, 4)
+                    ev = ev.reshape(b, s, 1, self.heads, self.dim_head
+                                    ).transpose(0, 1, 3, 2, 4)
+                else:
+                    t_tok = ek.shape[1]
+                    ek = split_heads(jnp.broadcast_to(
+                        ek[:, None], (b, s, t_tok, hidden)))
+                    ev = split_heads(jnp.broadcast_to(
+                        ev[:, None], (b, s, t_tok, hidden)))
+                    if rot_freqs is not None and self.per_frame_cond:
+                        # temporal attention: encode time into cond keys
+                        # (vddp.py:470-471)
+                        ek = apply_rotary(ek, rot_freqs)
+                k = jnp.concatenate([ek, k], axis=-2)
+                v = jnp.concatenate([ev, v], axis=-2)
+
+            if rot_freqs is not None:
+                q = apply_rotary(q, rot_freqs)
+            sim_has_video_block = True
+
+        out = stacked_softmax_attention(
+            q, k, v, scale=scale, num_video_tokens=n,
+            pos_bias=pos_bias if sim_has_video_block else None,
+            pos_bias_on_cond=(self.per_frame_cond and cond_used),
+            focus_present_mask=(focus_present_mask
+                                if not cond_used else None),
+        )
+        out = out.transpose(0, 1, 3, 2, 4).reshape(b, s, n, hidden)
+        return _dense(self.dim, "to_out", use_bias=False, dtype=self.dtype)(out)
+
+
+class SpatialLinearAttention(nn.Module):
+    """Linear attention over pixels per frame (vddp.py:313-378). Input:
+    (b, f, h, w, c); frames fold into batch."""
+
+    dim: int
+    heads: int = 4
+    dim_head: int = 32
+    cond_attention: str = "none"
+    cond_dim: int = 64
+    per_frame_cond: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, label_emb=None):
+        b, f, h, w, c = x.shape
+        hidden = self.heads * self.dim_head
+        scale = self.dim_head ** -0.5
+        xf = x.reshape(b * f, h * w, c).astype(self.dtype)
+
+        def to_bhdn(t):  # (bf, m, hidden) -> (bf, heads, d, m)
+            m = t.shape[1]
+            return t.reshape(t.shape[0], m, self.heads, self.dim_head
+                             ).transpose(0, 2, 3, 1)
+
+        cond_used = self.cond_attention != "none" and label_emb is not None
+
+        if self.cond_attention == "cross-attention" and cond_used:
+            q = to_bhdn(_dense(hidden, "to_q", use_bias=False,
+                               dtype=self.dtype)(xf))
+            ek = _dense(hidden, "to_k", use_bias=False, dtype=self.dtype)(
+                label_emb.astype(self.dtype))
+            ev = _dense(hidden, "to_v", use_bias=False, dtype=self.dtype)(
+                label_emb.astype(self.dtype))
+            t_tok = ek.shape[1]
+            k = to_bhdn(jnp.broadcast_to(ek[:, None], (b, f, t_tok, hidden)
+                                         ).reshape(b * f, t_tok, hidden))
+            v = to_bhdn(jnp.broadcast_to(ev[:, None], (b, f, t_tok, hidden)
+                                         ).reshape(b * f, t_tok, hidden))
+        else:
+            qkv = _dense(hidden * 3, "to_qkv", use_bias=False,
+                         dtype=self.dtype)(xf)
+            q, k, v = map(to_bhdn, jnp.split(qkv, 3, axis=-1))
+            if cond_used:  # 'self-stacked'
+                ek = _dense(hidden, "to_k", use_bias=False, dtype=self.dtype)(
+                    label_emb.astype(self.dtype))
+                ev = _dense(hidden, "to_v", use_bias=False, dtype=self.dtype)(
+                    label_emb.astype(self.dtype))
+                if self.per_frame_cond:
+                    # align cond frame axis with folded frame axis
+                    # (vddp.py:343-346): one token per frame
+                    assert ek.shape[1] == f
+                    ek = to_bhdn(ek.reshape(b * f, 1, hidden))
+                    ev = to_bhdn(ev.reshape(b * f, 1, hidden))
+                else:
+                    t_tok = ek.shape[1]
+                    ek = to_bhdn(jnp.broadcast_to(
+                        ek[:, None], (b, f, t_tok, hidden)
+                    ).reshape(b * f, t_tok, hidden))
+                    ev = to_bhdn(jnp.broadcast_to(
+                        ev[:, None], (b, f, t_tok, hidden)
+                    ).reshape(b * f, t_tok, hidden))
+                k = jnp.concatenate([ek, k], axis=-1)
+                v = jnp.concatenate([ev, v], axis=-1)
+
+        out = linear_attention(q, k, v, scale=scale, spatial_size=h * w)
+        out = out.transpose(0, 3, 1, 2).reshape(b * f, h * w, hidden)
+        out_kernel = self.param("to_out_kernel", _KERNEL_INIT,
+                                (hidden, self.dim), jnp.float32)
+        out_bias = self.param("to_out_bias", nn.initializers.zeros,
+                              (self.dim,), jnp.float32)
+        out = conv1x1(out, out_kernel, out_bias)
+        return out.reshape(b, f, h, w, self.dim)
+
+
+class _PreNormResidual(nn.Module):
+    """Residual(PreNorm(fn)) with the reference's scale-only channel
+    LayerNorm (vddp.py:131-137, 245-264)."""
+
+    dim: int
+    inner: nn.Module
+
+    @nn.compact
+    def __call__(self, x, **kwargs):
+        gamma = self.param("norm_gamma", nn.initializers.ones, (self.dim,),
+                           jnp.float32)
+        return self.inner(channel_layer_norm(x, gamma), **kwargs) + x
+
+
+class TemporalAttentionBlock(nn.Module):
+    """PreNorm + residual full attention over the frame axis, pixels folded
+    into the batch-like axis: (b,f,h,w,c) <-> (b, h*w, f, c)."""
+
+    dim: int
+    attn: Attention
+
+    @nn.compact
+    def __call__(self, x, pos_bias=None, focus_present_mask=None,
+                 label_emb=None):
+        b, f, h, w, c = x.shape
+        gamma = self.param("norm_gamma", nn.initializers.ones, (self.dim,),
+                           jnp.float32)
+        y = channel_layer_norm(x, gamma)
+        y = y.transpose(0, 2, 3, 1, 4).reshape(b, h * w, f, c)
+        y = self.attn(y, pos_bias=pos_bias,
+                      focus_present_mask=focus_present_mask,
+                      label_emb=label_emb)
+        y = y.reshape(b, h, w, f, c).transpose(0, 3, 1, 2, 4)
+        return x + y.astype(x.dtype)
+
+
+class SpatialAttentionBlock(nn.Module):
+    """PreNorm + residual full attention over pixels, frames folded:
+    (b,f,h,w,c) <-> (b, f, h*w, c). Mid-block only (vddp.py:687-689)."""
+
+    dim: int
+    attn: Attention
+
+    @nn.compact
+    def __call__(self, x, label_emb=None):
+        b, f, h, w, c = x.shape
+        gamma = self.param("norm_gamma", nn.initializers.ones, (self.dim,),
+                           jnp.float32)
+        y = channel_layer_norm(x, gamma)
+        y = y.reshape(b, f, h * w, c)
+        y = self.attn(y, label_emb=label_emb)
+        y = y.reshape(b, f, h, w, c)
+        return x + y.astype(x.dtype)
+
+
+class SpatialLinearAttentionBlock(nn.Module):
+    dim: int
+    attn: SpatialLinearAttention
+
+    @nn.compact
+    def __call__(self, x, label_emb=None):
+        gamma = self.param("norm_gamma", nn.initializers.ones, (self.dim,),
+                           jnp.float32)
+        y = self.attn(channel_layer_norm(x, gamma), label_emb=label_emb)
+        return x + y.astype(x.dtype)
+
+
+class Downsample(nn.Module):
+    dim: int
+    padding_mode: str = "zeros"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param("kernel", _KERNEL_INIT, (4, 4, self.dim, self.dim),
+                            jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.dim,),
+                          jnp.float32)
+        return conv2d_spatial(x.astype(self.dtype), kernel, bias, stride=2,
+                              padding=1, padding_mode=self.padding_mode)
+
+
+class Upsample(nn.Module):
+    dim: int
+    padding_mode: str = "zeros"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param("kernel", _KERNEL_INIT, (4, 4, self.dim, self.dim),
+                            jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.dim,),
+                          jnp.float32)
+        return conv_transpose2d_spatial(x.astype(self.dtype), kernel, bias,
+                                        padding_mode=self.padding_mode)
+
+
+class UNet3D(nn.Module):
+    """The denoiser. See module docstring; ctor parity: vddp.py:574-713."""
+
+    dim: int = 64
+    out_dim: Optional[int] = None
+    dim_mults: Sequence[int] = (1, 2, 4, 8)
+    channels: int = 3
+    attn_heads: int = 8
+    attn_dim_head: int = 32
+    init_dim: Optional[int] = None
+    init_kernel_size: int = 7
+    use_sparse_linear_attn: bool = True
+    resnet_groups: int = 8
+    cond_attention: str = "none"
+    cond_attention_tokens: int = 6
+    cond_att_GRU: bool = False
+    use_temporal_attention_cond: bool = False
+    cond_to_time: str = "add"
+    per_frame_cond: bool = False
+    padding_mode: str = "zeros"
+    compute_dtype: str = "bfloat16"
+
+    @property
+    def _dtype(self):
+        return jnp.dtype(self.compute_dtype)
+
+    @property
+    def _cond_attention(self):
+        return "self-stacked" if self.per_frame_cond else self.cond_attention
+
+    @property
+    def _cond_tokens(self):
+        return 11 if self.per_frame_cond else self.cond_attention_tokens
+
+    @property
+    def _time_dim(self):
+        return self.dim * 4
+
+    @property
+    def _cond_dim(self):
+        return self._time_dim
+
+    def _temporal_attn(self, dim, name):
+        return TemporalAttentionBlock(
+            dim=dim,
+            attn=Attention(dim=dim, heads=self.attn_heads,
+                           dim_head=self.attn_dim_head, use_rotary=True,
+                           cond_attention=self._cond_attention,
+                           cond_dim=self._cond_dim,
+                           per_frame_cond=self.per_frame_cond,
+                           dtype=self._dtype),
+            name=name)
+
+    def _spatial_linear_attn(self, dim, name):
+        return SpatialLinearAttentionBlock(
+            dim=dim,
+            attn=SpatialLinearAttention(
+                dim=dim, heads=self.attn_heads, dim_head=32,
+                cond_attention=self._cond_attention, cond_dim=self._cond_dim,
+                per_frame_cond=self.per_frame_cond, dtype=self._dtype),
+            name=name)
+
+    @nn.compact
+    def __call__(self, x, time, cond=None, null_cond_mask=None,
+                 focus_present_mask=None):
+        """x: (b, f, h, w, channels) in [-1, 1]; time: (b,) int/float;
+        cond: (b, 11) per-frame stresses (or (b, 51) whole-signal mode);
+        null_cond_mask: (b,) bool — True replaces conditioning with the
+        learned null embeddings (classifier-free guidance dropout);
+        focus_present_mask: (b,) bool or None.
+
+        Returns predicted noise, (b, f, h, w, out_dim), float32."""
+        b, f, h, w, _ = x.shape
+        dtype = self._dtype
+        cdt = self._cond_attention
+        time_dim = self._time_dim
+        cond_dim = self._cond_dim
+        x = x.astype(dtype)
+
+        pos_bias = RelativePositionBias(
+            heads=self.attn_heads, num_buckets=32, max_distance=32,
+            name="time_rel_pos_bias")(f)
+
+        init_dim = self.init_dim or self.dim
+        ks = self.init_kernel_size
+        init_kernel = self.param("init_conv_kernel", _KERNEL_INIT,
+                                 (ks, ks, self.channels, init_dim), jnp.float32)
+        init_bias = self.param("init_conv_bias", nn.initializers.zeros,
+                               (init_dim,), jnp.float32)
+        x = conv2d_spatial(x, init_kernel, init_bias,
+                           padding_mode=self.padding_mode)
+
+        x = self._temporal_attn(init_dim, "init_temporal_attn")(
+            x, pos_bias=pos_bias, focus_present_mask=focus_present_mask)
+        r = x
+
+        # time embedding (vddp.py:637-642); exact (erf) GELU like torch
+        t_emb = SinusoidalPosEmb(self.dim, name="time_pos_emb")(time)
+        t_emb = _dense(time_dim, "time_mlp_1")(t_emb)
+        t_emb = nn.gelu(t_emb, approximate=False)
+        t_emb = _dense(time_dim, "time_mlp_2")(t_emb)
+
+        # conditioning path (vddp.py:751-770)
+        if self.per_frame_cond:
+            tokens = _dense(cond_dim, "sign_emb")(
+                cond.astype(jnp.float32)[..., None])     # (b, f, cond_dim)
+            pooled = tokens.mean(axis=-2)
+            hidden = nn.LayerNorm(epsilon=1e-5, name="cond_hidden_norm")(pooled)
+            hidden = _dense(cond_dim, "cond_hidden_1")(hidden)
+            hidden = nn.silu(hidden)
+            hidden = _dense(time_dim, "cond_hidden_2")(hidden)
+        else:
+            hidden = SignalEmbedding("CNN", init_channel=1,
+                                     channel_upsamplings=(16, 32, 64, 128,
+                                                          cond_dim),
+                                     name="sign_emb_CNN")(cond)
+            if cdt != "none" and not self.cond_att_GRU:
+                tokens = jnp.broadcast_to(
+                    hidden[:, None], (b, self._cond_tokens, cond_dim))
+            elif cdt != "none" and self.cond_att_GRU:
+                tokens = SignalEmbedding("GRU", init_channel=1,
+                                         channel_upsamplings=(16, 32, 64, 128,
+                                                              cond_dim),
+                                         name="sign_emb_GRU")(cond)
+            else:
+                tokens = None
+
+        # classifier-free guidance null replacement (vddp.py:772-784)
+        if null_cond_mask is None:
+            null_cond_mask = jnp.zeros((b,), dtype=bool)
+        if cdt != "none":
+            # reference hardcodes 11 tokens for per-frame cond (vddp.py:603);
+            # here the null token follows the actual frame/token count.
+            null_token = self.param("null_text_token",
+                                    nn.initializers.normal(stddev=1.0),
+                                    (1, tokens.shape[1], cond_dim),
+                                    jnp.float32)
+            tokens = jnp.where(null_cond_mask[:, None, None],
+                               null_token.astype(tokens.dtype), tokens)
+        null_hidden = self.param("null_text_hidden",
+                                 nn.initializers.normal(stddev=1.0),
+                                 (1, time_dim), jnp.float32)
+        hidden = jnp.where(null_cond_mask[:, None],
+                           null_hidden.astype(hidden.dtype), hidden)
+
+        if self.cond_to_time == "add":
+            t = t_emb + hidden
+        elif self.cond_to_time == "concat":
+            t = jnp.concatenate([t_emb, hidden], axis=-1)
+        else:
+            raise ValueError(f"unknown cond_to_time: {self.cond_to_time}")
+
+        tokens_temporal = tokens if self.use_temporal_attention_cond else None
+
+        dims = [init_dim, *(self.dim * m for m in self.dim_mults)]
+        in_out = list(zip(dims[:-1], dims[1:]))
+        num_res = len(in_out)
+        time_emb_dim = (time_dim + cond_dim if self.cond_to_time == "concat"
+                        else cond_dim)
+
+        hs = []
+        for i, (_, dim_out) in enumerate(in_out):
+            is_last = i >= num_res - 1
+            x = ResnetBlock(dim_out, time_emb_dim, self.resnet_groups,
+                            self.padding_mode, dtype,
+                            name=f"down_{i}_block1")(x, t)
+            x = ResnetBlock(dim_out, time_emb_dim, self.resnet_groups,
+                            self.padding_mode, dtype,
+                            name=f"down_{i}_block2")(x, t)
+            if self.use_sparse_linear_attn:
+                x = self._spatial_linear_attn(dim_out, f"down_{i}_spatial_attn")(
+                    x, label_emb=tokens)
+            x = self._temporal_attn(dim_out, f"down_{i}_temporal_attn")(
+                x, pos_bias=pos_bias, focus_present_mask=focus_present_mask,
+                label_emb=tokens_temporal)
+            hs.append(x)
+            if not is_last:
+                x = Downsample(dim_out, self.padding_mode, dtype,
+                               name=f"down_{i}_downsample")(x)
+
+        mid_dim = dims[-1]
+        x = ResnetBlock(mid_dim, time_emb_dim, self.resnet_groups,
+                        self.padding_mode, dtype, name="mid_block1")(x, t)
+        x = SpatialAttentionBlock(
+            dim=mid_dim,
+            attn=Attention(dim=mid_dim, heads=self.attn_heads,
+                           dim_head=self.attn_dim_head, use_rotary=False,
+                           cond_attention=cdt, cond_dim=cond_dim,
+                           per_frame_cond=self.per_frame_cond, dtype=dtype),
+            name="mid_spatial_attn")(x, label_emb=tokens)
+        x = self._temporal_attn(mid_dim, "mid_temporal_attn")(
+            x, pos_bias=pos_bias, focus_present_mask=focus_present_mask,
+            label_emb=tokens_temporal)
+        x = ResnetBlock(mid_dim, time_emb_dim, self.resnet_groups,
+                        self.padding_mode, dtype, name="mid_block2")(x, t)
+
+        for i, (dim_in, dim_out) in enumerate(reversed(in_out)):
+            is_last = i >= num_res - 1
+            x = jnp.concatenate([x, hs.pop()], axis=-1)
+            x = ResnetBlock(dim_in, time_emb_dim, self.resnet_groups,
+                            self.padding_mode, dtype,
+                            name=f"up_{i}_block1")(x, t)
+            x = ResnetBlock(dim_in, time_emb_dim, self.resnet_groups,
+                            self.padding_mode, dtype,
+                            name=f"up_{i}_block2")(x, t)
+            if self.use_sparse_linear_attn:
+                x = self._spatial_linear_attn(dim_in, f"up_{i}_spatial_attn")(
+                    x, label_emb=tokens)
+            x = self._temporal_attn(dim_in, f"up_{i}_temporal_attn")(
+                x, pos_bias=pos_bias, focus_present_mask=focus_present_mask,
+                label_emb=tokens_temporal)
+            if not is_last:
+                x = Upsample(dim_in, self.padding_mode, dtype,
+                             name=f"up_{i}_upsample")(x)
+
+        x = jnp.concatenate([x, r.astype(x.dtype)], axis=-1)
+        x = ResnetBlock(self.dim, None, self.resnet_groups, self.padding_mode,
+                        dtype, name="final_block")(x)
+        out_dim = self.out_dim or self.channels
+        fk = self.param("final_conv_kernel", _KERNEL_INIT,
+                        (self.dim, out_dim), jnp.float32)
+        fb = self.param("final_conv_bias", nn.initializers.zeros, (out_dim,),
+                        jnp.float32)
+        return conv1x1(x, fk, fb).astype(jnp.float32)
+
+    @classmethod
+    def from_config(cls, cfg) -> "UNet3D":
+        """Build from a ModelConfig (mirrors main.py:62-80)."""
+        return cls(
+            dim=cfg.unet_dim,
+            dim_mults=tuple(cfg.dim_mults),
+            channels=len(cfg.selected_channels),
+            attn_heads=cfg.unet_attn_heads,
+            attn_dim_head=cfg.unet_attn_dim_head,
+            init_kernel_size=cfg.init_kernel_size,
+            use_sparse_linear_attn=cfg.unet_use_sparse_linear_attn,
+            resnet_groups=cfg.unet_resnet_groups,
+            cond_attention=cfg.unet_cond_attention,
+            cond_attention_tokens=cfg.unet_cond_attention_tokens,
+            cond_att_GRU=cfg.unet_cond_att_GRU,
+            use_temporal_attention_cond=cfg.unet_temporal_att_cond,
+            cond_to_time=cfg.unet_cond_to_time,
+            per_frame_cond=cfg.per_frame_cond,
+            padding_mode=cfg.padding_mode,
+            compute_dtype=cfg.compute_dtype,
+        )

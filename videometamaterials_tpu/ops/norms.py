@@ -1,0 +1,46 @@
+"""Normalization primitives matching the reference's exact conventions.
+
+- channel_layer_norm: scale-only LayerNorm over the channel axis with BIASED
+  variance and eps inside the sqrt (vddp.py:245-254). Channels-last layout.
+- group_norm: torch.nn.GroupNorm semantics on video tensors — statistics per
+  (sample, group) over all frame/spatial positions and the group's channels
+  (used by Block, vddp.py:274).
+
+Both compute statistics in float32 regardless of input dtype (TPU bf16
+activations; norm math stays fp32 for stability) and cast back.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def channel_layer_norm(x: jnp.ndarray, gamma: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
+    """x: (..., C) channels-last; gamma: (C,). Scale-only, biased variance."""
+    dtype = x.dtype
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+    out = (x32 - mean) / jnp.sqrt(var + eps) * gamma.astype(jnp.float32)
+    return out.astype(dtype)
+
+
+def group_norm(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray,
+               num_groups: int, eps: float = 1e-5) -> jnp.ndarray:
+    """x: (B, ..., C) channels-last video tensor (e.g. (B, F, H, W, C)).
+
+    Statistics are computed per sample and per channel-group over ALL other
+    axes, matching torch GroupNorm on (B, C, F, H, W)."""
+    dtype = x.dtype
+    b = x.shape[0]
+    c = x.shape[-1]
+    assert c % num_groups == 0, f"channels {c} not divisible by groups {num_groups}"
+    x32 = x.astype(jnp.float32)
+    # (B, rest, groups, C/groups)
+    grouped = x32.reshape(b, -1, num_groups, c // num_groups)
+    mean = jnp.mean(grouped, axis=(1, 3), keepdims=True)
+    var = jnp.mean(jnp.square(grouped - mean), axis=(1, 3), keepdims=True)
+    normed = (grouped - mean) / jnp.sqrt(var + eps)
+    normed = normed.reshape(x.shape)
+    out = normed * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+    return out.astype(dtype)

@@ -1,0 +1,45 @@
+"""Rotary position embedding, interleaved-pair convention.
+
+The reference uses lucidrains' rotary-embedding-torch with
+`RotaryEmbedding(min(32, attn_dim_head))` (vddp.py:612) and calls
+`rotate_queries_or_keys` on q/k (and on conditioning keys in temporal
+attention with per-frame cond, vddp.py:470-471). That implementation:
+
+  inv_freq_i = theta^(-2i/dim),  i in [0, dim/2),  theta = 10000
+  freqs[n, 2i] = freqs[n, 2i+1] = n * inv_freq_i          (interleaved repeat)
+  out = t * cos(freqs) + rotate_half(t) * sin(freqs)
+  rotate_half pairs (x0, x1), (x2, x3), ... -> (-x1, x0), (-x3, x2), ...
+
+Only the first `dim` features are rotated; trailing features pass through
+(here dim == head_dim == 32 in the paper config, so all features rotate).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+
+def rotary_frequencies(seq_len: int, dim: int, theta: float = 10000.0) -> np.ndarray:
+    """(seq_len, dim) angle table with interleaved duplication, float32."""
+    inv_freq = 1.0 / (theta ** (np.arange(0, dim, 2, dtype=np.float64) / dim))
+    freqs = np.outer(np.arange(seq_len, dtype=np.float64), inv_freq)  # (n, dim/2)
+    return np.repeat(freqs, 2, axis=-1).astype(np.float32)            # (n, dim)
+
+
+def _rotate_half_interleaved(x: jnp.ndarray) -> jnp.ndarray:
+    x1 = x[..., 0::2]
+    x2 = x[..., 1::2]
+    return jnp.stack([-x2, x1], axis=-1).reshape(x.shape)
+
+
+def apply_rotary(x: jnp.ndarray, freqs: jnp.ndarray) -> jnp.ndarray:
+    """Rotate the leading freqs.shape[-1] features of x over its second-to-last
+    (sequence) axis. x: (..., seq, features); freqs: (seq, rot_dim)."""
+    rot_dim = freqs.shape[-1]
+    x_rot, x_pass = x[..., :rot_dim], x[..., rot_dim:]
+    f = freqs.astype(x.dtype)
+    x_rot = x_rot * jnp.cos(f) + _rotate_half_interleaved(x_rot) * jnp.sin(f)
+    if x_pass.shape[-1] == 0:
+        return x_rot
+    return jnp.concatenate([x_rot, x_pass], axis=-1)

@@ -1,0 +1,70 @@
+"""Device mesh and sharding helpers — the L0 substrate.
+
+TPU-native replacement of the reference's torch.distributed(gloo) + Accelerate
+stack (SURVEY.md §2.3, §5.8):
+
+  - data parallelism: a 1-D Mesh(('data',)); the training batch carries
+    NamedSharding(P('data')), parameters are replicated. The gradient
+    all-reduce of DDP (vddp.py:1629) becomes an XLA-inserted psum over ICI —
+    no explicit collectives in user code;
+  - inference sharding of a conditioning batch (the hand-rolled
+    `cond_to_gpu` + broadcast + gather-with-padding dance of
+    vddp.py:1506-1532, 1837-1868) becomes: pad the batch to a multiple of the
+    device count, device_put with batch sharding, one jitted sample call, and
+    slice off the padding — barriers are implicit in SPMD program order;
+  - multi-host entry: jax.distributed.initialize() (initialize_distributed()).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def initialize_distributed(**kwargs) -> None:
+    """Multi-host bring-up (replaces dist.init_process_group, main.py:31).
+    No-op when running single-process."""
+    if jax.process_count() > 1:
+        return  # already initialized by the launcher
+    try:
+        jax.distributed.initialize(**kwargs)
+    except (ValueError, RuntimeError):
+        pass  # single-process run
+
+
+def make_mesh(devices: Optional[Sequence[jax.Device]] = None,
+              axis_name: str = "data") -> Mesh:
+    devices = list(devices) if devices is not None else jax.devices()
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def batch_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
+    return NamedSharding(mesh, P(axis_name))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def pad_to_multiple(x: np.ndarray, multiple: int) -> tuple[np.ndarray, int]:
+    """Pad the leading axis up to a multiple (repeating the last row so padded
+    work is well-conditioned); returns (padded, original_length)."""
+    n = x.shape[0]
+    rem = (-n) % multiple
+    if rem == 0:
+        return x, n
+    pad = np.repeat(x[-1:], rem, axis=0)
+    return np.concatenate([x, pad], axis=0), n
+
+
+def shard_cond_batch(cond: np.ndarray, mesh: Mesh,
+                     axis_name: str = "data"):
+    """Even device sharding of a conditioning batch for sampling. Returns
+    (sharded device array, original length)."""
+    n_dev = mesh.devices.size
+    padded, n = pad_to_multiple(np.asarray(cond), n_dev)
+    arr = jax.device_put(padded, batch_sharding(mesh, axis_name))
+    return arr, n

@@ -1,0 +1,1 @@
+from videometamaterials_tpu.training.trainer import Trainer, TrainState  # noqa: F401

@@ -1,0 +1,404 @@
+"""Trainer — the L4 orchestration layer.
+
+Re-design of the reference Trainer (vddp.py:1400-1919) as an SPMD program
+over a 1-D data mesh:
+
+  - one jitted, buffer-donated `train_step` fuses loss, backward, Adam and
+    the EMA update (reference walks params in Python every 10 steps,
+    vddp.py:121-124; here it is a lax-selected tree lerp inside the step —
+    zero extra host round-trips);
+  - batches are sharded over the mesh; gradients all-reduce over ICI via
+    XLA (DDP replacement, SURVEY.md §2.3);
+  - EMA semantics preserved: copy-reset before step_start_ema (=2000), lerp
+    with beta=0.995 every update_ema_every (=10) steps (vddp.py:1497-1504);
+  - eval: full validation loss sweep + EMA-sampled conditioned videos at
+    every milestone, guided sampling of target curves (eval_target), artifact
+    export via training.artifacts (contract-frozen with the reference);
+  - checkpoints at EVERY milestone (reference saves only at the final step,
+    vddp.py:1663-1667 — a noted weakness, SURVEY.md §5.3);
+  - metrics stream to runs/<name>/metrics.jsonl (+ optional wandb when the
+    package is importable; parity with §5.5).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from functools import partial
+from pathlib import Path
+from typing import Any, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from videometamaterials_tpu.config import ModelConfig, TrainerConfig
+from videometamaterials_tpu.data.dataset import VideoDataset, interpolate_labels
+from videometamaterials_tpu.data.loader import InfiniteBatchSampler
+from videometamaterials_tpu.parallel.mesh import (
+    batch_sharding,
+    make_mesh,
+    pad_to_multiple,
+    replicated_sharding,
+)
+from videometamaterials_tpu.training import checkpoint as ckpt
+from videometamaterials_tpu.training.artifacts import save_preds
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray           # int32 scalar
+    params: Any
+    opt_state: Any
+    ema_params: Any
+
+
+class Trainer:
+    def __init__(
+        self,
+        diffusion,                      # GaussianDiffusion
+        model_cfg: ModelConfig,
+        trainer_cfg: TrainerConfig,
+        folder: str | Path,
+        validation_folder: str | Path,
+        results_folder: str | Path = "./results",
+        run_name: Optional[str] = None,
+        mesh=None,
+        init_params=None,
+    ):
+        self.diffusion = diffusion
+        self.mcfg = model_cfg
+        self.tcfg = trainer_cfg
+        self.results_folder = Path(results_folder)
+        self.results_folder.mkdir(parents=True, exist_ok=True)
+        self.run_name = run_name
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.n_devices = int(self.mesh.devices.size)
+
+        self.selected_channels = list(model_cfg.selected_channels)
+        self.per_frame_cond = model_cfg.per_frame_cond
+        self.reference_frame = model_cfg.reference_frame
+        self.num_frames = model_cfg.num_frames
+
+        # ---- data (val reuses train scaling, vddp.py:1477-1478)
+        self.ds = VideoDataset(
+            folder, model_cfg.image_size, labels_scaling=None,
+            selected_channels=self.selected_channels,
+            num_frames=self.num_frames, per_frame_cond=self.per_frame_cond,
+            reference_frame=self.reference_frame)
+        print(f"found {len(self.ds)} videos as gif files in {folder}")
+        self.ds_test = VideoDataset(
+            validation_folder, model_cfg.image_size,
+            labels_scaling=self.ds.labels_scaling,
+            selected_channels=self.selected_channels,
+            num_frames=self.num_frames, per_frame_cond=self.per_frame_cond,
+            reference_frame=self.reference_frame)
+
+        self.global_batch = model_cfg.batch_size * self.n_devices
+        self.test_batch = max(trainer_cfg.test_batch_size // 2, 1) \
+            * self.n_devices                       # vddp.py:1460
+        self.sampler = InfiniteBatchSampler(
+            len(self.ds), self.global_batch, seed=trainer_cfg.seed)
+
+        # ---- optimizer (Adam, torch defaults; vddp.py:1481)
+        chain = []
+        if trainer_cfg.max_grad_norm is not None:
+            chain.append(optax.clip_by_global_norm(trainer_cfg.max_grad_norm))
+        chain.append(optax.adam(model_cfg.learning_rate))
+        self.tx = optax.chain(*chain)
+
+        # ---- state
+        self.rng = jax.random.PRNGKey(trainer_cfg.seed)
+        if init_params is None:
+            init_rng, self.rng = jax.random.split(self.rng)
+            dummy_x = jnp.zeros(
+                (1, self.num_frames, model_cfg.image_size,
+                 model_cfg.image_size, len(self.selected_channels)),
+                jnp.float32)
+            dummy_t = jnp.zeros((1,), jnp.int32)
+            dummy_c = jnp.zeros((1, self.ds.labels.shape[1]), jnp.float32)
+            init_params = diffusion.model.init(init_rng, dummy_x, dummy_t,
+                                               dummy_c)
+        state = TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=init_params,
+            opt_state=self.tx.init(init_params),
+            ema_params=jax.tree.map(jnp.copy, init_params),
+        )
+        self._repl = replicated_sharding(self.mesh)
+        self._bsh = batch_sharding(self.mesh)
+        self.state = jax.device_put(state, self._repl)
+
+        self._train_step = self._build_train_step()
+        self._loss_fn = jax.jit(
+            lambda params, rng, x, c: self.diffusion.loss(
+                params, rng, x, c,
+                null_cond_prob=self.tcfg.null_cond_prob,
+                prob_focus_present=self.tcfg.prob_focus_present))
+        self._sample_fns: dict = {}
+
+        self._metrics_path = self.results_folder / "metrics.jsonl"
+        self._wandb = None
+        if trainer_cfg.log:
+            try:
+                import wandb  # optional (§5.5)
+                self._wandb = wandb
+                wandb.init(project="metamaterial_diffusion", name=run_name)
+            except Exception:
+                self._wandb = None
+
+    # ------------------------------------------------------------- train step
+    def _build_train_step(self):
+        tcfg = self.tcfg
+        diffusion = self.diffusion
+        tx = self.tx
+
+        def train_step(state: TrainState, videos, labels, rng):
+            step_rng = jax.random.fold_in(rng, state.step)
+
+            def loss_fn(p):
+                return diffusion.loss(
+                    p, step_rng, videos, labels,
+                    null_cond_prob=tcfg.null_cond_prob,
+                    prob_focus_present=tcfg.prob_focus_present)
+
+            loss, grads = jax.value_and_grad(loss_fn)(state.params)
+            updates, opt_state = tx.update(grads, state.opt_state,
+                                           state.params)
+            params = optax.apply_updates(state.params, updates)
+
+            # EMA: reset before start step, lerp every update period
+            # (vddp.py:1497-1504, beta semantics of vddp.py:126-129)
+            do = (state.step % tcfg.ema_update_every) == 0
+            reset = state.step < tcfg.ema_start_step
+            beta = tcfg.ema_decay
+
+            def ema_update(e, p):
+                lerped = e * beta + (1.0 - beta) * p
+                return jnp.where(do, jnp.where(reset, p, lerped), e)
+
+            ema_params = jax.tree.map(ema_update, state.ema_params, params)
+            new_state = TrainState(step=state.step + 1, params=params,
+                                   opt_state=opt_state,
+                                   ema_params=ema_params)
+            return new_state, loss
+
+        return jax.jit(train_step, donate_argnums=(0,),
+                       in_shardings=(self._repl, self._bsh, self._bsh, None),
+                       out_shardings=(self._repl, None))
+
+    # ---------------------------------------------------------------- logging
+    def _log(self, record: dict):
+        with open(self._metrics_path, "a") as f:
+            f.write(json.dumps(record) + "\n")
+        if self._wandb is not None:
+            step = record.pop("step", None)
+            self._wandb.log(record, step=step)
+
+    # ----------------------------------------------------------------- train
+    def train(self, load_model_step: Optional[int] = None,
+              num_samples: Optional[int] = None,
+              num_preds: Optional[int] = None):
+        tcfg = self.tcfg
+        num_samples = num_samples if num_samples is not None \
+            else tcfg.num_samples
+        num_preds = num_preds if num_preds is not None else tcfg.num_preds
+
+        start_step = 0
+        if load_model_step is not None:
+            self.load(load_model_step)
+            start_step = load_model_step
+            if load_model_step >= tcfg.train_num_steps:
+                print("training completed")
+                return
+
+        data_iter = iter(self.sampler)
+        rng = self.rng
+        start_time = time.time()
+        pending_loss = None
+        pending_step = None
+
+        # runs steps [start_step, train_num_steps); afterwards
+        # state.step == train_num_steps, matching checkpoint/eval dir names
+        step = start_step
+        while step < tcfg.train_num_steps:
+            idx = next(data_iter)
+            videos, labels = self.ds.get_batch(idx)
+            videos = jax.device_put(videos, self._bsh)
+            labels = jax.device_put(labels, self._bsh)
+            self.state, loss = self._train_step(self.state, videos, labels,
+                                                rng)
+            # async logging: fetch the *previous* step's loss so the host
+            # never blocks on the in-flight step
+            if pending_loss is not None:
+                self._log({"step": pending_step,
+                           "training loss": float(pending_loss)})
+            pending_loss, pending_step = loss, step
+            step += 1
+
+            if step % tcfg.save_and_sample_every == 0 and \
+                    step < tcfg.train_num_steps:
+                elapsed = time.strftime(
+                    "%H:%M:%S", time.gmtime(time.time() - start_time))
+                print(f"current step: {step}, total time elapsed: {elapsed}")
+                t0 = time.time()
+                self.eval_network(num_samples=num_samples,
+                                  num_preds=num_preds)
+                self.save(step=step)
+                print(f"time elapsed for validation: "
+                      f"{time.strftime('%H:%M:%S', time.gmtime(time.time() - t0))}")
+
+        if pending_loss is not None:
+            self._log({"step": pending_step,
+                       "training loss": float(pending_loss)})
+        self.save(step=tcfg.train_num_steps)
+        print("training completed")
+
+    # ------------------------------------------------------------ validation
+    def eval_network(self, guidance_scale: Optional[float] = None,
+                     num_samples: int = 1, num_preds: int = 1):
+        guidance_scale = guidance_scale if guidance_scale is not None \
+            else self.tcfg.guidance_scale
+        step = int(self.state.step)
+        mode_dir = self.results_folder / "training" / f"step_{step}"
+        (mode_dir / "gifs").mkdir(parents=True, exist_ok=True)
+
+        # full validation loss sweep (vddp.py:1695-1714)
+        losses = []
+        rng = jax.random.PRNGKey(self.tcfg.seed + 1234)
+        n_val = len(self.ds_test)
+        bs = min(self.test_batch, n_val)
+        for i in range(0, n_val - bs + 1, bs):
+            v, c = self.ds_test.get_batch(np.arange(i, i + bs))
+            # pad to a device-count multiple (sharding requires even split)
+            v, _ = pad_to_multiple(v, self.n_devices)
+            c, _ = pad_to_multiple(c, self.n_devices)
+            rng, sub = jax.random.split(rng)
+            losses.append(float(self._loss_fn(
+                self.state.params, sub,
+                jax.device_put(v, self._bsh), jax.device_put(c, self._bsh))))
+        val_loss = float(np.mean(losses)) if losses else float("nan")
+        self._log({"step": step, "validation loss": val_loss})
+
+        if num_samples > 0:
+            rng_np = np.random.default_rng(self.tcfg.seed + step)
+            pick = rng_np.choice(n_val, size=min(num_samples, n_val),
+                                 replace=False)
+            cond = self.ds_test.labels[pick]
+            cond_rep = np.repeat(cond, num_preds, axis=0)
+            videos = self.sample_videos(cond_rep, guidance_scale)
+            save_preds(videos, mode_dir, self.selected_channels,
+                       num_samples=len(pick),
+                       reference_frame=self.reference_frame,
+                       num_frames=self.num_frames,
+                       zero_u_2=self.ds.zero_u_2)
+        return val_loss
+
+    # ---------------------------------------------------------- target eval
+    def eval_target(self, target_labels_dir: str | Path,
+                    guidance_scale: Optional[float] = None,
+                    num_preds: int = 1):
+        """Guided generation for given target stress-strain curves
+        (vddp.py:1755-1845)."""
+        guidance_scale = guidance_scale if guidance_scale is not None \
+            else self.tcfg.guidance_scale
+        step = int(self.state.step)
+
+        mode = f"eval_target_w_{guidance_scale}"
+        eval_idx = 0
+        while (self.results_folder / f"{mode}_{eval_idx}"
+               / f"step_{step}").exists():
+            eval_idx += 1
+        mode_dir = self.results_folder / f"{mode}_{eval_idx}" / f"step_{step}"
+        (mode_dir / "gifs").mkdir(parents=True, exist_ok=True)
+
+        try:
+            targets = np.genfromtxt(target_labels_dir, delimiter=",")
+        except OSError:
+            print("Could not load target labels.")
+            return None
+        if targets.ndim == 1:
+            targets = targets[None, :]
+
+        if self.per_frame_cond:
+            if targets.shape[1] != self.num_frames:
+                targets = interpolate_labels(targets, self.num_frames)
+        else:
+            targets = targets[:, 1:]
+        cond = self.ds.labels_scaling.normalize(
+            targets.astype(np.float32)).astype(np.float32)
+        num_samples = len(cond)
+        cond_rep = np.repeat(cond, num_preds, axis=0)
+
+        videos = self.sample_videos(cond_rep, guidance_scale)
+        save_preds(videos, mode_dir, self.selected_channels,
+                   num_samples=num_samples,
+                   reference_frame=self.reference_frame,
+                   num_frames=self.num_frames,
+                   zero_u_2=self.ds.zero_u_2)
+        return mode_dir
+
+    # -------------------------------------------------------------- sampling
+    def _get_sample_fn(self, batch: int, guidance_scale: float):
+        key = (batch, guidance_scale)
+        if key not in self._sample_fns:
+            fn = jax.jit(
+                lambda p, r, c: self.diffusion.sample(
+                    p, r, c, guidance_scale=guidance_scale),
+                in_shardings=(self._repl, None, self._bsh),
+            )
+            self._sample_fns[key] = fn
+        return self._sample_fns[key]
+
+    def sample_videos(self, cond: np.ndarray,
+                      guidance_scale: Optional[float] = None,
+                      use_ema: bool = True) -> np.ndarray:
+        """EMA-sampled videos for a conditioning batch, device-sharded over
+        the mesh; replaces the broadcast/shard/gather dance of
+        vddp.py:1722-1753."""
+        guidance_scale = guidance_scale if guidance_scale is not None \
+            else self.tcfg.guidance_scale
+        params = self.state.ema_params if use_ema else self.state.params
+        chunk = max(self.test_batch, self.n_devices)
+        outs = []
+        self.rng, rng = jax.random.split(self.rng)
+        padded, n = pad_to_multiple(np.asarray(cond, np.float32), chunk)
+        fn = self._get_sample_fn(chunk, guidance_scale)
+        for i in range(0, len(padded), chunk):
+            rng, sub = jax.random.split(rng)
+            c = jax.device_put(padded[i:i + chunk], self._bsh)
+            outs.append(np.asarray(fn(params, sub, c)))
+        return np.concatenate(outs, axis=0)[:n]
+
+    # ------------------------------------------------------------ checkpoint
+    def save(self, step: Optional[int] = None):
+        step = int(self.state.step) if step is None else step
+        payload = jax.device_get({
+            "step": self.state.step,
+            "params": self.state.params,
+            "opt_state": self.state.opt_state,
+            "ema_params": self.state.ema_params,
+        })
+        aux = {"labels_scaling": self.ds.labels_scaling.to_dict(),
+               "step": step}
+        path = ckpt.save_checkpoint(self.results_folder, step, payload, aux)
+        print(f"checkpoint saved to {path}")
+
+    def load(self, step: int, strict: bool = True):
+        template = jax.device_get({
+            "step": self.state.step,
+            "params": self.state.params,
+            "opt_state": self.state.opt_state,
+            "ema_params": self.state.ema_params,
+        })
+        payload, aux = ckpt.load_checkpoint(self.results_folder, step,
+                                            template)
+        state = TrainState(
+            step=jnp.asarray(payload["step"], jnp.int32),
+            params=payload["params"],
+            opt_state=payload["opt_state"],
+            ema_params=payload["ema_params"],
+        )
+        self.state = jax.device_put(state, self._repl)
+        print(f"checkpoint loaded from step {step}")
