@@ -25,6 +25,7 @@ from __future__ import annotations
 import math
 from typing import Optional, Sequence
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
@@ -39,7 +40,11 @@ from videometamaterials_tpu.ops.conv import (
     conv_transpose2d_spatial,
 )
 from videometamaterials_tpu.ops.norms import channel_layer_norm, group_norm
-from videometamaterials_tpu.ops.rotary import apply_rotary, rotary_frequencies
+from videometamaterials_tpu.ops.rotary import (
+    apply_rotary,
+    apply_rotary_heads,
+    rotary_frequencies,
+)
 from videometamaterials_tpu.models.embeddings import (
     RelativePositionBias,
     SignalEmbedding,
@@ -129,6 +134,23 @@ class Attention(nn.Module):
     cond_dim: int = 64
     per_frame_cond: bool = False
     dtype: jnp.dtype = jnp.float32
+    # Pallas fused path measured slightly slower than the XLA VPU
+    # formulation on v5e (316 vs 279 ms/forward, tiny in-kernel dots get
+    # serialized); keep it opt-in until the kernel is re-tuned.
+    use_fused: bool = False
+
+    def _fused_eligible(self, n, m, hidden, focus_present_mask):
+        """Pallas fused path: TPU backend, small token counts, lane-aligned
+        hidden, and no focus masking (training-only option, falls back)."""
+        if not self.use_fused or focus_present_mask is not None:
+            return False
+        if n > 32 or m > 64 or hidden % 128 != 0:
+            return False
+        try:
+            platform = jax.devices()[0].platform
+        except RuntimeError:
+            return False
+        return platform in ("tpu", "axon")
 
     @nn.compact
     def __call__(self, x, pos_bias=None, focus_present_mask=None,
@@ -164,56 +186,67 @@ class Attention(nn.Module):
                 ev[:, None], (b, s, ev.shape[1], hidden)))
             if rot_freqs is not None:
                 q = apply_rotary(q, rot_freqs)
-            sim_has_video_block = False
+            out = stacked_softmax_attention(
+                q, k, v, scale=scale, num_video_tokens=n, pos_bias=None,
+                focus_present_mask=None)
+            out = out.transpose(0, 1, 3, 2, 4).reshape(b, s, n, hidden)
+            return _dense(self.dim, "to_out", use_bias=False,
+                          dtype=self.dtype)(out)
+
+        # ---- self-attention (optionally with stacked conditioning tokens).
+        # q/k/v stay in merged-heads layout (b, s, tokens, hidden); rotary is
+        # applied per head-block without transposing.
+        qkv = _dense(hidden * 3, "to_qkv", use_bias=False,
+                     dtype=self.dtype)(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        if rot_freqs is not None:
+            k = apply_rotary_heads(k, rot_freqs, self.heads)
+            q = apply_rotary_heads(q, rot_freqs, self.heads)
+
+        if cond_used:  # 'self-stacked'
+            ek = _dense(hidden, "to_k", use_bias=False, dtype=self.dtype)(
+                label_emb.astype(self.dtype))
+            ev = _dense(hidden, "to_v", use_bias=False, dtype=self.dtype)(
+                label_emb.astype(self.dtype))
+            if pos_bias is None and self.per_frame_cond:
+                # spatial attention, per-frame alignment: one cond token per
+                # frame; s == num_frames (vddp.py:459-462)
+                assert ek.shape[1] == s, (
+                    "per-frame cond tokens must align with frame axis")
+                ek = ek[:, :, None, :]
+                ev = ev[:, :, None, :]
+            else:
+                t_tok = ek.shape[1]
+                if rot_freqs is not None and self.per_frame_cond:
+                    # temporal attention: encode time into cond keys
+                    # (vddp.py:470-471)
+                    ek = apply_rotary_heads(ek, rot_freqs, self.heads)
+                ek = jnp.broadcast_to(ek[:, None], (b, s, t_tok, hidden))
+                ev = jnp.broadcast_to(ev[:, None], (b, s, t_tok, hidden))
+            k = jnp.concatenate([ek, k], axis=-2)
+            v = jnp.concatenate([ev, v], axis=-2)
+
+        m = k.shape[-2]
+        if self._fused_eligible(n, m, hidden, focus_present_mask):
+            from videometamaterials_tpu.ops.pallas import fused_small_attention
+            bias = jnp.zeros((self.heads, n, m), jnp.float32)
+            if pos_bias is not None:
+                pb = pos_bias.astype(jnp.float32)
+                bias = bias + jnp.pad(pb, ((0, 0), (0, 0), (m - n, 0)))
+                if self.per_frame_cond and cond_used and m != n:
+                    bias = bias + jnp.pad(pb, ((0, 0), (0, 0), (0, m - n)))
+            out = fused_small_attention(q, k, v, bias, heads=self.heads,
+                                        scale=scale)
         else:
-            qkv = _dense(hidden * 3, "to_qkv", use_bias=False,
-                         dtype=self.dtype)(x)
-            q, k, v = jnp.split(qkv, 3, axis=-1)
-            q, k, v = split_heads(q), split_heads(k), split_heads(v)
-            if rot_freqs is not None:
-                k = apply_rotary(k, rot_freqs)
-
-            if cond_used:  # 'self-stacked'
-                ek = _dense(hidden, "to_k", use_bias=False, dtype=self.dtype)(
-                    label_emb.astype(self.dtype))
-                ev = _dense(hidden, "to_v", use_bias=False, dtype=self.dtype)(
-                    label_emb.astype(self.dtype))
-                if pos_bias is None and self.per_frame_cond:
-                    # spatial attention, per-frame alignment: one cond token
-                    # per frame; s == num_frames (vddp.py:459-462)
-                    assert ek.shape[1] == s, (
-                        "per-frame cond tokens must align with frame axis")
-                    ek = ek.reshape(b, s, 1, hidden)
-                    ev = ev.reshape(b, s, 1, hidden)
-                    ek = ek.reshape(b, s, 1, self.heads, self.dim_head
-                                    ).transpose(0, 1, 3, 2, 4)
-                    ev = ev.reshape(b, s, 1, self.heads, self.dim_head
-                                    ).transpose(0, 1, 3, 2, 4)
-                else:
-                    t_tok = ek.shape[1]
-                    ek = split_heads(jnp.broadcast_to(
-                        ek[:, None], (b, s, t_tok, hidden)))
-                    ev = split_heads(jnp.broadcast_to(
-                        ev[:, None], (b, s, t_tok, hidden)))
-                    if rot_freqs is not None and self.per_frame_cond:
-                        # temporal attention: encode time into cond keys
-                        # (vddp.py:470-471)
-                        ek = apply_rotary(ek, rot_freqs)
-                k = jnp.concatenate([ek, k], axis=-2)
-                v = jnp.concatenate([ev, v], axis=-2)
-
-            if rot_freqs is not None:
-                q = apply_rotary(q, rot_freqs)
-            sim_has_video_block = True
-
-        out = stacked_softmax_attention(
-            q, k, v, scale=scale, num_video_tokens=n,
-            pos_bias=pos_bias if sim_has_video_block else None,
-            pos_bias_on_cond=(self.per_frame_cond and cond_used),
-            focus_present_mask=(focus_present_mask
-                                if not cond_used else None),
-        )
-        out = out.transpose(0, 1, 3, 2, 4).reshape(b, s, n, hidden)
+            qh, kh, vh = split_heads(q), split_heads(k), split_heads(v)
+            out = stacked_softmax_attention(
+                qh, kh, vh, scale=scale, num_video_tokens=n,
+                pos_bias=pos_bias,
+                pos_bias_on_cond=(self.per_frame_cond and cond_used),
+                focus_present_mask=(focus_present_mask
+                                    if not cond_used else None),
+            )
+            out = out.transpose(0, 1, 3, 2, 4).reshape(b, s, n, hidden)
         return _dense(self.dim, "to_out", use_bias=False, dtype=self.dtype)(out)
 
 

@@ -37,12 +37,28 @@ def stacked_softmax_attention(
     pos_bias: jnp.ndarray | None = None,        # (h, n, n)
     pos_bias_on_cond: bool = False,
     focus_present_mask: jnp.ndarray | None = None,  # (b,) bool
+    impl: str = "auto",
 ) -> jnp.ndarray:
-    """Returns (b, s, h, n, d). Inputs already projected/rotated/stacked."""
+    """Returns (b, s, h, n, d). Inputs already projected/rotated/stacked.
+
+    impl: 'dot' lowers the score/value contractions to batched matmuls —
+    right when n is large (mid-block spatial attention, n=144). 'vpu' uses
+    broadcast-multiply-reduce — right for the temporal axis where each
+    matmul is a tiny (11x32)@(32x22): the MXU pads those tiles to 128 and
+    runs at <1% utilization, while the VPU form keeps the huge folded s axis
+    (up to 9216) as the vectorized dimension. 'auto' picks by token count."""
     n = num_video_tokens
+    m = k.shape[-2]
+    if impl == "auto":
+        impl = "vpu" if max(n, m) <= 64 else "dot"
     q = q * scale
-    sim = jnp.einsum("bshid,bshjd->bshij", q, k,
-                     preferred_element_type=jnp.float32)
+    if impl == "vpu":
+        sim = jnp.sum(
+            (q[..., :, None, :] * k[..., None, :, :]).astype(jnp.float32),
+            axis=-1)
+    else:
+        sim = jnp.einsum("bshid,bshjd->bshij", q, k,
+                         preferred_element_type=jnp.float32)
 
     if pos_bias is not None:
         m = sim.shape[-1]
@@ -67,8 +83,12 @@ def stacked_softmax_attention(
     sim = sim - jnp.max(sim, axis=-1, keepdims=True)
     attn = jnp.exp(sim)
     attn = attn / jnp.sum(attn, axis=-1, keepdims=True)
-    out = jnp.einsum("bshij,bshjd->bshid", attn.astype(v.dtype), v,
-                     preferred_element_type=jnp.float32)
+    if impl == "vpu":
+        out = jnp.sum(attn[..., :, :, None]
+                      * v[..., None, :, :].astype(jnp.float32), axis=-2)
+    else:
+        out = jnp.einsum("bshij,bshjd->bshid", attn.astype(v.dtype), v,
+                         preferred_element_type=jnp.float32)
     return out.astype(v.dtype)
 
 

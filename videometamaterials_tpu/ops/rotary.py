@@ -33,6 +33,22 @@ def _rotate_half_interleaved(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([-x2, x1], axis=-1).reshape(x.shape)
 
 
+def apply_rotary_heads(x: jnp.ndarray, freqs: jnp.ndarray,
+                       heads: int) -> jnp.ndarray:
+    """Rotary on a merged-heads tensor x: (..., seq, heads*d) — rotates the
+    leading rot_dim features of every head's d-block without materializing a
+    head transpose (reshape only)."""
+    *lead, n, hd = x.shape
+    d = hd // heads
+    xr = x.reshape(*lead, n, heads, d)
+    rot = freqs.shape[-1]
+    x1, x2 = xr[..., :rot], xr[..., rot:]
+    f = freqs.astype(x.dtype)[:, None, :]          # (seq, 1, rot)
+    x1 = x1 * jnp.cos(f) + _rotate_half_interleaved(x1) * jnp.sin(f)
+    out = x1 if x2.shape[-1] == 0 else jnp.concatenate([x1, x2], axis=-1)
+    return out.reshape(*lead, n, hd)
+
+
 def apply_rotary(x: jnp.ndarray, freqs: jnp.ndarray) -> jnp.ndarray:
     """Rotate the leading freqs.shape[-1] features of x over its second-to-last
     (sequence) axis. x: (..., seq, features); freqs: (seq, rot_dim)."""

@@ -136,7 +136,11 @@ def grid_gif_to_array(path: str) -> tuple[np.ndarray, int, int]:
         print("Warning: Number of frames of provided gif is not 11. This is "
               "likely due to convergence problems in the simulation.")
     if tot_rows == 1 and tot_cols == 1:
-        frames = np.zeros((num_frames, 96, 96), dtype=np.uint8)
+        # single cell: a bare 96x96 FEM gif or a 100x100 padded grid cell
+        # (the reference hardcodes 96 here, src/utils.py:281, and would crash
+        # on padded 1x1 grids)
+        frames = np.zeros((num_frames, first.shape[0], first.shape[1]),
+                          dtype=np.uint8)
     else:
         frames = np.zeros((num_frames, 100 * tot_rows, 100 * tot_cols),
                           dtype=np.uint8)
@@ -155,11 +159,18 @@ def crop_gif(path: str, row: int, col: int, save: bool = True):
     import imageio
 
     frames, tot_rows, tot_cols = grid_gif_to_array(path)
+    if row >= tot_rows or col >= tot_cols:
+        raise IndexError(
+            f"grid cell ({row},{col}) out of range for a {tot_rows}x"
+            f"{tot_cols} prediction grid in {path}")
     if not (tot_rows == 1 and tot_cols == 1):
         frames = frames[:, row * 100:(row + 1) * 100,
                         col * 100:(col + 1) * 100].astype(np.uint8)
         pad = 2
         frames = frames[:, pad:-pad, pad:-pad]
+    elif frames.shape[-1] == 100:
+        # 1x1 padded grid cell
+        frames = frames[:, 2:-2, 2:-2]
     if save:
         out = path[:-4] + f"-{row}-{col}.gif"
         imageio.mimsave(out, list(frames), duration=0.2)
