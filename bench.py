@@ -38,13 +38,15 @@ def main():
 
     cond = jax.random.uniform(rng, (BATCH, cfg.num_frames), jnp.float32,
                               -1.0, 1.0)
-    sample = jax.jit(
-        lambda p, r, c: diffusion.sample(p, r, c, guidance_scale=GUIDANCE))
+    # chunked sampler jits its own scan segments (survives runtimes that
+    # watchdog long single programs); no outer jit
+    sample = lambda p, r, c: diffusion.sample(p, r, c,
+                                              guidance_scale=GUIDANCE)
 
     # warmup/compile
     jax.block_until_ready(sample(params, rng, cond))
 
-    n_runs = 3
+    n_runs = 2
     t0 = time.perf_counter()
     for i in range(n_runs):
         out = sample(params, jax.random.fold_in(rng, i), cond)

@@ -25,7 +25,8 @@ from videometamaterials_tpu.config import (
 
 
 def build(config: ModelConfig, trainer_cfg: TrainerConfig, data_dir: str,
-          data_dir_validation: str, run_dir: str, run_name: str):
+          data_dir_validation: str, run_dir: str, run_name: str,
+          profile_dir: str | None = None):
     # imports deferred so --help stays fast
     from videometamaterials_tpu.diffusion import GaussianDiffusion
     from videometamaterials_tpu.models import UNet3D
@@ -36,7 +37,7 @@ def build(config: ModelConfig, trainer_cfg: TrainerConfig, data_dir: str,
     trainer = Trainer(
         diffusion, config, trainer_cfg,
         folder=data_dir, validation_folder=data_dir_validation,
-        results_folder=run_dir, run_name=run_name)
+        results_folder=run_dir, run_name=run_name, profile_dir=profile_dir)
     return trainer
 
 
@@ -57,6 +58,11 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--no-log", action="store_true")
     p.add_argument("--skip-train", action="store_true")
+    p.add_argument("--profile-dir", default=None,
+                   help="write a jax.profiler trace of a 3-step window")
+    p.add_argument("--torch-checkpoint", default=None,
+                   help="import reference checkpoint.pt weights before "
+                        "running (EMA + online)")
     args = p.parse_args(argv)
 
     run_dir = Path(args.runs_root) / args.run_name
@@ -88,7 +94,10 @@ def main(argv=None):
                                               "target_responses.csv")
 
     trainer = build(config, trainer_cfg, str(data_dir),
-                    str(data_dir_validation), str(run_dir), args.run_name)
+                    str(data_dir_validation), str(run_dir), args.run_name,
+                    profile_dir=args.profile_dir)
+    if args.torch_checkpoint:
+        trainer.load_torch_checkpoint(args.torch_checkpoint)
     if not args.skip_train:
         trainer.train(load_model_step=args.load_model_step,
                       num_samples=args.num_samples, num_preds=args.num_preds)

@@ -93,3 +93,24 @@ def test_linear_attention_matches_torch_reference():
     context = torch.einsum("bhdn,bhen->bhde", kt, vt)
     want = torch.einsum("bhde,bhdn->bhen", context, qt).numpy()
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_linear_attention_layouts_agree():
+    """tokens-first formulation == reference-layout formulation."""
+    from videometamaterials_tpu.ops.attention import (
+        linear_attention_tokens_first,
+    )
+    B, h, d, n = 2, 3, 4, 9
+    hw = 16
+    q = _rand((B, h, d, n), 30)
+    k = _rand((B, h, d, n + 1), 31)
+    v = _rand((B, h, d, n + 1), 32)
+    ref = np.asarray(linear_attention(q, k, v, scale=0.5, spatial_size=hw))
+
+    qt = np.ascontiguousarray(q.transpose(0, 3, 1, 2))  # (B, n, h, d)
+    kt = np.ascontiguousarray(k.transpose(0, 3, 1, 2))
+    vt = np.ascontiguousarray(v.transpose(0, 3, 1, 2))
+    got = np.asarray(linear_attention_tokens_first(qt, kt, vt, scale=0.5,
+                                                   spatial_size=hw))
+    np.testing.assert_allclose(got.transpose(0, 2, 3, 1), ref, rtol=1e-4,
+                               atol=1e-5)

@@ -1,0 +1,97 @@
+"""GaussianDiffusion process math: q_sample statistics, thresholding
+methods, DDPM step behavior, chunked-sampler equivalence."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from videometamaterials_tpu.diffusion import GaussianDiffusion
+from videometamaterials_tpu.diffusion.gaussian import (
+    normalize_img,
+    unnormalize_img,
+)
+
+
+class _IdentityModel:
+    """Stand-in denoiser: predicts zeros (so x_recon == scaled x_t)."""
+
+    def apply(self, params, x, t, cond, null_cond_mask=None,
+              focus_present_mask=None):
+        return jnp.zeros_like(x)
+
+
+def _diff(**kw):
+    defaults = dict(model=_IdentityModel(), image_size=8, num_frames=2,
+                    channels=1, timesteps=16, use_dynamic_thres=True)
+    defaults.update(kw)
+    return GaussianDiffusion(**defaults)
+
+
+def test_normalize_roundtrip():
+    x = jnp.linspace(0, 1, 11)
+    np.testing.assert_allclose(unnormalize_img(normalize_img(x)), x,
+                               rtol=1e-6)
+
+
+def test_q_sample_endpoints():
+    d = _diff()
+    x0 = jnp.ones((2, 2, 8, 8, 1))
+    noise = jnp.full_like(x0, 2.0)
+    # t=0: mostly signal
+    out0 = d.q_sample(x0, jnp.zeros((2,), jnp.int32), noise)
+    np.testing.assert_allclose(np.asarray(out0),
+                               np.asarray(x0) * float(d.schedule.sqrt_alphas_cumprod[0])
+                               + 2.0 * float(d.schedule.sqrt_one_minus_alphas_cumprod[0]),
+                               rtol=1e-5)
+    # late t: mostly noise
+    outT = d.q_sample(x0, jnp.full((2,), 15, jnp.int32), noise)
+    assert abs(np.asarray(outT).mean() - 2.0) < 1.0
+
+
+def test_bisect_threshold_matches_sort():
+    rng = np.random.default_rng(0)
+    # large per-sample population: the count-quantile and the interpolated
+    # sort-quantile coincide to ~1/n
+    x = jnp.asarray(rng.normal(scale=3.0, size=(2, 2, 64, 64, 1)),
+                    jnp.float32)
+    d_sort = _diff(dynamic_thres_method="sort")
+    d_bis = _diff(dynamic_thres_method="bisect")
+    a = np.asarray(d_sort._maybe_threshold(x))
+    b = np.asarray(d_bis._maybe_threshold(x))
+    np.testing.assert_allclose(a, b, rtol=2e-2, atol=5e-3)
+    assert np.abs(a).max() <= 1.0 + 1e-6
+
+
+def test_static_threshold_clips():
+    d = _diff(use_dynamic_thres=False)
+    x = jnp.asarray([[-3.0, 0.5, 3.0]])
+    np.testing.assert_allclose(np.asarray(d._maybe_threshold(x)),
+                               [[-1.0, 0.5, 1.0]])
+
+
+def test_chunked_sampler_matches_single_scan():
+    d1 = _diff(timesteps=8)
+    d2 = _diff(timesteps=8, scan_chunk_size=3)   # 3+3+2: remainder chunk
+    rng = jax.random.PRNGKey(0)
+    cond = jnp.zeros((2, 2))
+    out1 = np.asarray(d1.sample(None, rng, cond, guidance_scale=1.0))
+    out2 = np.asarray(d2.sample(None, rng, cond, guidance_scale=1.0))
+    np.testing.assert_allclose(out1, out2, rtol=1e-5, atol=1e-5)
+
+
+def test_ddpm_final_step_adds_no_noise():
+    d = _diff(timesteps=4, use_dynamic_thres=False)
+    rng = jax.random.PRNGKey(1)
+    x = jnp.ones((1, 2, 8, 8, 1)) * 0.3
+    t0 = jnp.zeros((1,), jnp.int32)
+    a = d.p_sample(None, jax.random.PRNGKey(2), x, t0, None, 1.0)
+    b = d.p_sample(None, jax.random.PRNGKey(3), x, t0, None, 1.0)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+
+def test_loss_shape_guard():
+    d = _diff()
+    with pytest.raises(AssertionError):
+        d.loss(None, jax.random.PRNGKey(0),
+               jnp.zeros((1, 3, 8, 8, 1)), jnp.zeros((1, 2)))

@@ -61,6 +61,9 @@ class ModelConfig:
 
     # TPU-native additions (no reference counterpart)
     compute_dtype: str = "bfloat16"           # activations; params stay float32
+    sample_scan_chunk: int | None = 64        # sampler scan segment length
+                                              # (None = one fused scan)
+    dynamic_thres_method: str = "bisect"      # 'bisect' | 'sort' (torch-exact)
 
     @property
     def channels(self) -> int:

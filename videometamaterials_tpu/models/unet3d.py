@@ -31,7 +31,7 @@ import numpy as np
 from flax import linen as nn
 
 from videometamaterials_tpu.ops.attention import (
-    linear_attention,
+    linear_attention_tokens_first,
     stacked_softmax_attention,
 )
 from videometamaterials_tpu.ops.conv import (
@@ -269,29 +269,28 @@ class SpatialLinearAttention(nn.Module):
         scale = self.dim_head ** -0.5
         xf = x.reshape(b * f, h * w, c).astype(self.dtype)
 
-        def to_bhdn(t):  # (bf, m, hidden) -> (bf, heads, d, m)
-            m = t.shape[1]
-            return t.reshape(t.shape[0], m, self.heads, self.dim_head
-                             ).transpose(0, 2, 3, 1)
+        def to_heads(t):  # (bf, m, hidden) -> (bf, m, heads, d): reshape only
+            return t.reshape(t.shape[0], t.shape[1], self.heads,
+                             self.dim_head)
 
         cond_used = self.cond_attention != "none" and label_emb is not None
 
         if self.cond_attention == "cross-attention" and cond_used:
-            q = to_bhdn(_dense(hidden, "to_q", use_bias=False,
-                               dtype=self.dtype)(xf))
+            q = to_heads(_dense(hidden, "to_q", use_bias=False,
+                                dtype=self.dtype)(xf))
             ek = _dense(hidden, "to_k", use_bias=False, dtype=self.dtype)(
                 label_emb.astype(self.dtype))
             ev = _dense(hidden, "to_v", use_bias=False, dtype=self.dtype)(
                 label_emb.astype(self.dtype))
             t_tok = ek.shape[1]
-            k = to_bhdn(jnp.broadcast_to(ek[:, None], (b, f, t_tok, hidden)
-                                         ).reshape(b * f, t_tok, hidden))
-            v = to_bhdn(jnp.broadcast_to(ev[:, None], (b, f, t_tok, hidden)
-                                         ).reshape(b * f, t_tok, hidden))
+            k = to_heads(jnp.broadcast_to(ek[:, None], (b, f, t_tok, hidden)
+                                          ).reshape(b * f, t_tok, hidden))
+            v = to_heads(jnp.broadcast_to(ev[:, None], (b, f, t_tok, hidden)
+                                          ).reshape(b * f, t_tok, hidden))
         else:
             qkv = _dense(hidden * 3, "to_qkv", use_bias=False,
                          dtype=self.dtype)(xf)
-            q, k, v = map(to_bhdn, jnp.split(qkv, 3, axis=-1))
+            q, k, v = map(to_heads, jnp.split(qkv, 3, axis=-1))
             if cond_used:  # 'self-stacked'
                 ek = _dense(hidden, "to_k", use_bias=False, dtype=self.dtype)(
                     label_emb.astype(self.dtype))
@@ -301,21 +300,23 @@ class SpatialLinearAttention(nn.Module):
                     # align cond frame axis with folded frame axis
                     # (vddp.py:343-346): one token per frame
                     assert ek.shape[1] == f
-                    ek = to_bhdn(ek.reshape(b * f, 1, hidden))
-                    ev = to_bhdn(ev.reshape(b * f, 1, hidden))
+                    ek = to_heads(ek.reshape(b * f, 1, hidden))
+                    ev = to_heads(ev.reshape(b * f, 1, hidden))
                 else:
                     t_tok = ek.shape[1]
-                    ek = to_bhdn(jnp.broadcast_to(
+                    ek = to_heads(jnp.broadcast_to(
                         ek[:, None], (b, f, t_tok, hidden)
                     ).reshape(b * f, t_tok, hidden))
-                    ev = to_bhdn(jnp.broadcast_to(
+                    ev = to_heads(jnp.broadcast_to(
                         ev[:, None], (b, f, t_tok, hidden)
                     ).reshape(b * f, t_tok, hidden))
-                k = jnp.concatenate([ek, k], axis=-1)
-                v = jnp.concatenate([ev, v], axis=-1)
+                # cond tokens stack in FRONT (vddp.py:352-353)
+                k = jnp.concatenate([ek, k], axis=1)
+                v = jnp.concatenate([ev, v], axis=1)
 
-        out = linear_attention(q, k, v, scale=scale, spatial_size=h * w)
-        out = out.transpose(0, 3, 1, 2).reshape(b * f, h * w, hidden)
+        out = linear_attention_tokens_first(q, k, v, scale=scale,
+                                            spatial_size=h * w)
+        out = out.reshape(b * f, h * w, hidden)
         out_kernel = self.param("to_out_kernel", _KERNEL_INIT,
                                 (hidden, self.dim), jnp.float32)
         out_bias = self.param("to_out_bias", nn.initializers.zeros,

@@ -118,3 +118,32 @@ def linear_attention(
     out = jnp.einsum("bhde,bhdn->bhen", context, q32,
                      preferred_element_type=jnp.float32)
     return out.astype(v.dtype)
+
+
+def linear_attention_tokens_first(
+    q: jnp.ndarray,  # (B, N, h, d) — natural projection layout, no transpose
+    k: jnp.ndarray,  # (B, M, h, d)
+    v: jnp.ndarray,  # (B, M, h, d)
+    *,
+    scale: float,
+    spatial_size: int,
+) -> jnp.ndarray:
+    """Same math as linear_attention but in tokens-first layout: avoids the
+    (B, hw, h*d) -> (B, h, d, hw) head-split transpose that costs a full HBM
+    pass per operand. The long token axis is the contraction axis (MXU K),
+    softmaxes are fused reduces over the existing layout. Returns
+    (B, N, h, d)."""
+    q32 = q.astype(jnp.float32)
+    k32 = k.astype(jnp.float32)
+    # q: softmax over features d; k: softmax over tokens M (vddp.py:367-368)
+    q32 = jnp.exp(q32 - jnp.max(q32, axis=-1, keepdims=True))
+    q32 = q32 / jnp.sum(q32, axis=-1, keepdims=True)
+    k32 = jnp.exp(k32 - jnp.max(k32, axis=1, keepdims=True))
+    k32 = k32 / jnp.sum(k32, axis=1, keepdims=True)
+    q32 = q32 * scale
+    v32 = v.astype(jnp.float32) / spatial_size
+    context = jnp.einsum("bnhd,bnhe->bhde", k32, v32,
+                         preferred_element_type=jnp.float32)
+    out = jnp.einsum("bhde,bnhd->bnhe", context, q32,
+                     preferred_element_type=jnp.float32)
+    return out.astype(v.dtype)

@@ -66,6 +66,7 @@ class Trainer:
         run_name: Optional[str] = None,
         mesh=None,
         init_params=None,
+        profile_dir: Optional[str | Path] = None,
     ):
         self.diffusion = diffusion
         self.mcfg = model_cfg
@@ -75,6 +76,9 @@ class Trainer:
         self.run_name = run_name
         self.mesh = mesh if mesh is not None else make_mesh()
         self.n_devices = int(self.mesh.devices.size)
+        # §5.1 upgrade over the reference's wall-clock prints: optional
+        # jax.profiler trace of a 3-step training window
+        self.profile_dir = Path(profile_dir) if profile_dir else None
 
         self.selected_channels = list(model_cfg.selected_channels)
         self.per_frame_cond = model_cfg.per_frame_cond
@@ -98,8 +102,14 @@ class Trainer:
         self.global_batch = model_cfg.batch_size * self.n_devices
         self.test_batch = max(trainer_cfg.test_batch_size // 2, 1) \
             * self.n_devices                       # vddp.py:1460
+        # per-host stripe of each epoch (multi-host: every process feeds its
+        # local shard of the global batch; single host: the whole batch)
         self.sampler = InfiniteBatchSampler(
-            len(self.ds), self.global_batch, seed=trainer_cfg.seed)
+            len(self.ds),
+            self.global_batch // jax.process_count(),
+            seed=trainer_cfg.seed,
+            process_index=jax.process_index(),
+            process_count=jax.process_count())
 
         # ---- optimizer (Adam, torch defaults; vddp.py:1481)
         chain = []
@@ -188,6 +198,17 @@ class Trainer:
                        in_shardings=(self._repl, self._bsh, self._bsh, None),
                        out_shardings=(self._repl, None))
 
+    def _put_global(self, host_batch: np.ndarray):
+        """Host batch -> globally-sharded device array. Multi-host: each
+        process contributes its local stripe (the SPMD replacement for the
+        reference's broadcast/shard dance, SURVEY.md §2.3)."""
+        if jax.process_count() == 1:
+            return jax.device_put(host_batch, self._bsh)
+        global_shape = (host_batch.shape[0] * jax.process_count(),
+                        *host_batch.shape[1:])
+        return jax.make_array_from_process_local_data(
+            self._bsh, host_batch, global_shape)
+
     # ---------------------------------------------------------------- logging
     def _log(self, record: dict):
         with open(self._metrics_path, "a") as f:
@@ -222,11 +243,15 @@ class Trainer:
         # runs steps [start_step, train_num_steps); afterwards
         # state.step == train_num_steps, matching checkpoint/eval dir names
         step = start_step
+        profiling = False
         while step < tcfg.train_num_steps:
+            if self.profile_dir and step == start_step + 10:
+                jax.profiler.start_trace(str(self.profile_dir))
+                profiling = True
             idx = next(data_iter)
             videos, labels = self.ds.get_batch(idx)
-            videos = jax.device_put(videos, self._bsh)
-            labels = jax.device_put(labels, self._bsh)
+            videos = self._put_global(videos)
+            labels = self._put_global(labels)
             self.state, loss = self._train_step(self.state, videos, labels,
                                                 rng)
             # async logging: fetch the *previous* step's loss so the host
@@ -236,6 +261,10 @@ class Trainer:
                            "training loss": float(pending_loss)})
             pending_loss, pending_step = loss, step
             step += 1
+            if profiling and step >= start_step + 13:
+                jax.block_until_ready(loss)
+                jax.profiler.stop_trace()
+                profiling = False
 
             if step % tcfg.save_and_sample_every == 0 and \
                     step < tcfg.train_num_steps:
@@ -341,6 +370,11 @@ class Trainer:
 
     # -------------------------------------------------------------- sampling
     def _get_sample_fn(self, batch: int, guidance_scale: float):
+        if self.diffusion.scan_chunk_size:
+            # chunked sampler drives its own jitted scan segments; an outer
+            # jit would fuse them back into one long program
+            return lambda p, r, c: self.diffusion.sample(
+                p, r, c, guidance_scale=guidance_scale)
         key = (batch, guidance_scale)
         if key not in self._sample_fns:
             fn = jax.jit(
@@ -384,6 +418,33 @@ class Trainer:
                "step": step}
         path = ckpt.save_checkpoint(self.results_folder, step, payload, aux)
         print(f"checkpoint saved to {path}")
+
+    def load_torch_checkpoint(self, path: str | Path, which: str = "both"):
+        """Import a reference checkpoint.pt (online + EMA weights) into the
+        current state (SURVEY.md §5.4: converter for the published
+        pretrained weights)."""
+        from videometamaterials_tpu.training.torch_import import (
+            import_state_dict,
+            state_dict_to_numpy,
+        )
+
+        num_res = len(self.mcfg.dim_mults)
+        template = jax.device_get(self.state.params)
+        new_params, new_ema = None, None
+        if which in ("both", "model"):
+            new_params = import_state_dict(
+                state_dict_to_numpy(path, "model"), template, num_res)
+        if which in ("both", "ema"):
+            new_ema = import_state_dict(
+                state_dict_to_numpy(path, "ema"), template, num_res)
+        state = TrainState(
+            step=self.state.step,
+            params=new_params if new_params is not None else self.state.params,
+            opt_state=self.state.opt_state,
+            ema_params=new_ema if new_ema is not None else self.state.ema_params,
+        )
+        self.state = jax.device_put(state, self._repl)
+        print(f"imported torch checkpoint from {path}")
 
     def load(self, step: int, strict: bool = True):
         template = jax.device_get({
