@@ -95,3 +95,34 @@ def test_loss_shape_guard():
     with pytest.raises(AssertionError):
         d.loss(None, jax.random.PRNGKey(0),
                jnp.zeros((1, 3, 8, 8, 1)), jnp.zeros((1, 2)))
+
+
+def test_chunked_ddim_matches_single_scan():
+    d1 = _diff(timesteps=8, sampling_timesteps=4)
+    d2 = _diff(timesteps=8, sampling_timesteps=4, scan_chunk_size=3)
+    assert d1.is_ddim_sampling
+    rng = jax.random.PRNGKey(0)
+    cond = jnp.zeros((2, 2))
+    out1 = np.asarray(d1.sample(None, rng, cond, guidance_scale=1.0))
+    out2 = np.asarray(d2.sample(None, rng, cond, guidance_scale=1.0))
+    np.testing.assert_allclose(out1, out2, rtol=1e-5, atol=1e-5)
+
+
+def test_interpolate_latent_mix():
+    d = _diff(timesteps=6, use_dynamic_thres=False)
+    rng = jax.random.PRNGKey(0)
+    x1 = jnp.zeros((1, 2, 8, 8, 1))
+    x2 = jnp.ones((1, 2, 8, 8, 1))
+    out = d.interpolate(None, rng, x1, x2, t=4, lam=0.5)
+    assert out.shape == x1.shape
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_reduce_csv_to_first_n_rows(tmp_path):
+    from videometamaterials_tpu.postproc.metrics import (
+        reduce_csv_to_first_n_rows,
+    )
+    p = tmp_path / "t.csv"
+    p.write_text("a\nb\nc\nd\n")
+    reduce_csv_to_first_n_rows(str(p), 2)
+    assert p.read_text() == "a\nb\n"

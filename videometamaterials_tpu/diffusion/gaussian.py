@@ -216,17 +216,9 @@ class GaussianDiffusion:
                                             jnp.asarray(chunk), cond)
         return unnormalize_img(img)
 
-    def ddim_sample(self, params, rng, shape, cond, guidance_scale):
-        """DDIM sampler (vddp.py:986-1018), eta-noise optional, as lax.scan."""
-        b = shape[0]
-        total, steps, eta = (self.timesteps, self.sampling_timesteps,
-                             self.ddim_sampling_eta)
-        times = np.linspace(-1, total - 1, num=steps + 1).astype(np.int64)
-        times = list(reversed(times.tolist()))
-        pairs = np.asarray(list(zip(times[:-1], times[1:])), dtype=np.int32)
-
-        rng, init_rng = jax.random.split(rng)
-        img0 = jax.random.normal(init_rng, shape, jnp.float32)
+    def _ddim_scan(self, params, img, rng, pairs, cond, guidance_scale):
+        b = img.shape[0]
+        eta = self.ddim_sampling_eta
         abar = self.schedule.alphas_cumprod
 
         def step(carry, pair):
@@ -249,7 +241,40 @@ class GaussianDiffusion:
             img = jnp.where(t_next < 0, x_start, img_next)
             return (img, key), None
 
-        (img, _), _ = jax.lax.scan(step, (img0, rng), jnp.asarray(pairs))
+        (img, rng), _ = jax.lax.scan(step, (img, rng), pairs)
+        return img, rng
+
+    def ddim_sample(self, params, rng, shape, cond, guidance_scale):
+        """DDIM sampler (vddp.py:986-1018), eta-noise optional; chunked like
+        p_sample_loop when scan_chunk_size is set."""
+        total, steps = self.timesteps, self.sampling_timesteps
+        times = np.linspace(-1, total - 1, num=steps + 1).astype(np.int64)
+        times = list(reversed(times.tolist()))
+        pairs = np.asarray(list(zip(times[:-1], times[1:])), dtype=np.int32)
+
+        rng, init_rng = jax.random.split(rng)
+        img = jax.random.normal(init_rng, shape, jnp.float32)
+
+        if not self.scan_chunk_size or isinstance(img, jax.core.Tracer):
+            img, _ = self._ddim_scan(params, img, rng, jnp.asarray(pairs),
+                                     cond, guidance_scale)
+            return unnormalize_img(img)
+
+        k = self.scan_chunk_size
+
+        def chunk_fn(length):
+            key = ("ddim", shape, guidance_scale, length)
+            if key not in self._jit_cache:
+                self._jit_cache[key] = jax.jit(
+                    lambda p, i, r, t, c: self._ddim_scan(
+                        p, i, r, t, c, guidance_scale),
+                    donate_argnums=(1,))
+            return self._jit_cache[key]
+
+        for start in range(0, len(pairs), k):
+            chunk = pairs[start:start + k]
+            img, rng = chunk_fn(len(chunk))(params, img, rng,
+                                            jnp.asarray(chunk), cond)
         return unnormalize_img(img)
 
     def sample(self, params, rng, cond, guidance_scale: float = 1.0,

@@ -152,10 +152,44 @@ class Attention(nn.Module):
             return False
         return platform in ("tpu", "axon")
 
-    @nn.compact
+    def setup(self):
+        """Raw projection kernels (Linear without bias): shared verbatim by
+        the XLA path and the fused Pallas block. The reference creates
+        to_q/to_k/to_v unconditionally (vddp.py:415-417); here conditioning
+        projections exist whenever a conditioning mode is configured."""
+        hidden = self.heads * self.dim_head
+        self.to_qkv_kernel = self.param("to_qkv_kernel", _KERNEL_INIT,
+                                        (self.dim, hidden * 3), jnp.float32)
+        self.to_out_kernel = self.param("to_out_kernel", _KERNEL_INIT,
+                                        (hidden, self.dim), jnp.float32)
+        if self.cond_attention != "none":
+            self.to_k_kernel = self.param("to_k_kernel", _KERNEL_INIT,
+                                          (self.cond_dim, hidden),
+                                          jnp.float32)
+            self.to_v_kernel = self.param("to_v_kernel", _KERNEL_INIT,
+                                          (self.cond_dim, hidden),
+                                          jnp.float32)
+        if self.cond_attention == "cross-attention":
+            self.to_q_kernel = self.param("to_q_kernel", _KERNEL_INIT,
+                                          (self.dim, hidden), jnp.float32)
+
+    def _cond_kv(self, label_emb):
+        ek = conv1x1(label_emb.astype(self.dtype), self.to_k_kernel)
+        ev = conv1x1(label_emb.astype(self.dtype), self.to_v_kernel)
+        return ek, ev
+
+    def _build_bias(self, pos_bias, n, m, cond_used):
+        bias = jnp.zeros((self.heads, n, m), jnp.float32)
+        if pos_bias is not None:
+            pb = pos_bias.astype(jnp.float32)
+            bias = bias + jnp.pad(pb, ((0, 0), (0, 0), (m - n, 0)))
+            if self.per_frame_cond and cond_used and m != n:
+                bias = bias + jnp.pad(pb, ((0, 0), (0, 0), (0, m - n)))
+        return bias
+
     def __call__(self, x, pos_bias=None, focus_present_mask=None,
                  label_emb=None):
-        b, s, n, _ = x.shape
+        b, s, n, c_in = x.shape
         hidden = self.heads * self.dim_head
         scale = self.dim_head ** -0.5
         x = x.astype(self.dtype)
@@ -173,12 +207,8 @@ class Attention(nn.Module):
         cond_used = self.cond_attention != "none" and label_emb is not None
 
         if self.cond_attention == "cross-attention" and cond_used:
-            q = split_heads(_dense(hidden, "to_q", use_bias=False,
-                                   dtype=self.dtype)(x))
-            ek = _dense(hidden, "to_k", use_bias=False, dtype=self.dtype)(
-                label_emb.astype(self.dtype))
-            ev = _dense(hidden, "to_v", use_bias=False, dtype=self.dtype)(
-                label_emb.astype(self.dtype))
+            q = split_heads(conv1x1(x, self.to_q_kernel))
+            ek, ev = self._cond_kv(label_emb)
             # (b, t, hidden) -> (b, s, heads, t, d)
             k = split_heads(jnp.broadcast_to(
                 ek[:, None], (b, s, ek.shape[1], hidden)))
@@ -190,24 +220,19 @@ class Attention(nn.Module):
                 q, k, v, scale=scale, num_video_tokens=n, pos_bias=None,
                 focus_present_mask=None)
             out = out.transpose(0, 1, 3, 2, 4).reshape(b, s, n, hidden)
-            return _dense(self.dim, "to_out", use_bias=False,
-                          dtype=self.dtype)(out)
+            return conv1x1(out, self.to_out_kernel)
 
         # ---- self-attention (optionally with stacked conditioning tokens).
         # q/k/v stay in merged-heads layout (b, s, tokens, hidden); rotary is
         # applied per head-block without transposing.
-        qkv = _dense(hidden * 3, "to_qkv", use_bias=False,
-                     dtype=self.dtype)(x)
+        qkv = conv1x1(x, self.to_qkv_kernel)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         if rot_freqs is not None:
             k = apply_rotary_heads(k, rot_freqs, self.heads)
             q = apply_rotary_heads(q, rot_freqs, self.heads)
 
         if cond_used:  # 'self-stacked'
-            ek = _dense(hidden, "to_k", use_bias=False, dtype=self.dtype)(
-                label_emb.astype(self.dtype))
-            ev = _dense(hidden, "to_v", use_bias=False, dtype=self.dtype)(
-                label_emb.astype(self.dtype))
+            ek, ev = self._cond_kv(label_emb)
             if pos_bias is None and self.per_frame_cond:
                 # spatial attention, per-frame alignment: one cond token per
                 # frame; s == num_frames (vddp.py:459-462)
@@ -229,12 +254,7 @@ class Attention(nn.Module):
         m = k.shape[-2]
         if self._fused_eligible(n, m, hidden, focus_present_mask):
             from videometamaterials_tpu.ops.pallas import fused_small_attention
-            bias = jnp.zeros((self.heads, n, m), jnp.float32)
-            if pos_bias is not None:
-                pb = pos_bias.astype(jnp.float32)
-                bias = bias + jnp.pad(pb, ((0, 0), (0, 0), (m - n, 0)))
-                if self.per_frame_cond and cond_used and m != n:
-                    bias = bias + jnp.pad(pb, ((0, 0), (0, 0), (0, m - n)))
+            bias = self._build_bias(pos_bias, n, m, cond_used)
             out = fused_small_attention(q, k, v, bias, heads=self.heads,
                                         scale=scale)
         else:
@@ -247,7 +267,43 @@ class Attention(nn.Module):
                                     if not cond_used else None),
             )
             out = out.transpose(0, 1, 3, 2, 4).reshape(b, s, n, hidden)
-        return _dense(self.dim, "to_out", use_bias=False, dtype=self.dtype)(out)
+        return conv1x1(out, self.to_out_kernel)
+
+    def fused_block(self, x_bfsc, norm_gamma, pos_bias=None, label_emb=None):
+        """Whole temporal attention block (LN + QKV + rotary + attention +
+        out-proj + residual) as ONE Pallas kernel over (B, F, HW, C) — no
+        head transposes, no score/QKV HBM round-trips, no (b,hw,f,c) layout
+        transposes. Weights are shared with __call__ (same params)."""
+        from videometamaterials_tpu.ops.pallas.fused_block import (
+            fused_temporal_block,
+        )
+
+        b, f, hw, c_in = x_bfsc.shape
+        d = self.dim_head
+        scale = d ** -0.5
+        assert self.dim == c_in
+
+        rot_dim = min(32, d)
+        freqs = jnp.asarray(rotary_frequencies(f, rot_dim))  # (f, rot)
+
+        cond_used = self.cond_attention != "none" and label_emb is not None
+        if cond_used:
+            ek, ev = self._cond_kv(label_emb)     # (b, f, hidden)
+            if self.per_frame_cond and self.use_rotary:
+                ek = apply_rotary_heads(ek, freqs, self.heads)
+            m = 2 * f
+        else:
+            ek = ev = None
+            m = f
+
+        bias = self._build_bias(pos_bias, f, m, cond_used)
+        return fused_temporal_block(
+            x_bfsc.astype(self.dtype), norm_gamma.astype(jnp.float32),
+            self.to_qkv_kernel.astype(self.dtype),
+            self.to_out_kernel.astype(self.dtype),
+            None if ek is None else ek.astype(self.dtype),
+            None if ev is None else ev.astype(self.dtype),
+            bias, freqs, heads=self.heads, scale=scale)
 
 
 class SpatialLinearAttention(nn.Module):
@@ -340,11 +396,33 @@ class _PreNormResidual(nn.Module):
 
 
 class TemporalAttentionBlock(nn.Module):
-    """PreNorm + residual full attention over the frame axis, pixels folded
-    into the batch-like axis: (b,f,h,w,c) <-> (b, h*w, f, c)."""
+    """PreNorm + residual full attention over the frame axis.
+
+    Two execution plans sharing the same parameters:
+      - fused (TPU): ONE Pallas kernel over (b, f, h*w, c) — LN, QKV, rotary,
+        attention, out-proj and residual without leaving VMEM, and no layout
+        transposes (ops/pallas/fused_block.py);
+      - XLA fallback: LN + (b,f,h,w,c) <-> (b, h*w, f, c) transposes around
+        the shared Attention module."""
 
     dim: int
     attn: Attention
+    use_fused_block: bool = False
+
+    def _fused_ok(self, focus_present_mask):
+        if not self.use_fused_block or focus_present_mask is not None:
+            return False
+        if self.attn.cond_attention == "cross-attention":
+            return False
+        if (self.attn.heads * self.attn.dim_head) % 128 != 0:
+            return False
+        if not self.attn.use_rotary:
+            return False
+        try:
+            platform = jax.devices()[0].platform
+        except RuntimeError:
+            return False
+        return platform in ("tpu", "axon")
 
     @nn.compact
     def __call__(self, x, pos_bias=None, focus_present_mask=None,
@@ -352,6 +430,11 @@ class TemporalAttentionBlock(nn.Module):
         b, f, h, w, c = x.shape
         gamma = self.param("norm_gamma", nn.initializers.ones, (self.dim,),
                            jnp.float32)
+        if self._fused_ok(focus_present_mask):
+            x4 = x.reshape(b, f, h * w, c)
+            out = self.attn.fused_block(x4, gamma, pos_bias=pos_bias,
+                                        label_emb=label_emb)
+            return out.reshape(b, f, h, w, c)
         y = channel_layer_norm(x, gamma)
         y = y.transpose(0, 2, 3, 1, 4).reshape(b, h * w, f, c)
         y = self.attn(y, pos_bias=pos_bias,
@@ -443,6 +526,10 @@ class UNet3D(nn.Module):
     per_frame_cond: bool = False
     padding_mode: str = "zeros"
     compute_dtype: str = "bfloat16"
+    # fuse each temporal attention block into one Pallas kernel on TPU.
+    # Compiles+runs on v5e; opt-in for now because the Mosaic compile of the
+    # kernel is ~15 min per shape through the remote-compile service.
+    use_fused_temporal_block: bool = False
 
     @property
     def _dtype(self):
@@ -473,6 +560,7 @@ class UNet3D(nn.Module):
                            cond_dim=self._cond_dim,
                            per_frame_cond=self.per_frame_cond,
                            dtype=self._dtype),
+            use_fused_block=self.use_fused_temporal_block,
             name=name)
 
     def _spatial_linear_attn(self, dim, name):

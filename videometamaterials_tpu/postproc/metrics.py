@@ -7,6 +7,14 @@ from __future__ import annotations
 import numpy as np
 
 
+def reduce_csv_to_first_n_rows(csv_file: str, n: int) -> None:
+    """Truncate a CSV to its first n rows in place (src/utils.py:84-92)."""
+    with open(csv_file, "r") as f:
+        lines = f.readlines()[:n]
+    with open(csv_file, "w") as f:
+        f.writelines(lines)
+
+
 def compute_NRMSE(y_true: np.ndarray, y_pred: np.ndarray) -> float:
     return float(np.sqrt(np.sum(np.square(y_pred - y_true))
                          / np.sum(np.square(y_true))))

@@ -68,7 +68,7 @@ def _attention_entries(torch_prefix: str, flax_prefix: tuple, wrapped: bool):
          (flax_prefix + ("norm_gamma",), _t_gamma)}
     for name in ("to_qkv", "to_q", "to_k", "to_v", "to_out"):
         e[f"{inner}.{name}.weight"] = (
-            flax_prefix + ("attn", name, "kernel"), _t_linear)
+            flax_prefix + ("attn", f"{name}_kernel"), _t_linear)
     return e
 
 
