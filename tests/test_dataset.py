@@ -85,3 +85,21 @@ def test_batch_matches_item(synth):
     v0, l0 = ds[0]
     np.testing.assert_allclose(vb[0], v0)
     np.testing.assert_allclose(lb[0], l0)
+
+
+def test_prefetch_matches_direct_iteration(synth):
+    from videometamaterials_tpu.data.loader import (
+        InfiniteBatchSampler,
+        prefetch_batches,
+    )
+    ds = _ds(synth)
+    s1 = InfiniteBatchSampler(len(ds), 2, seed=7)
+    s2 = InfiniteBatchSampler(len(ds), 2, seed=7)
+    it_direct = iter(s1)
+    it_pref = prefetch_batches(ds, s2)
+    for _ in range(5):
+        idx = next(it_direct)
+        v_want, l_want = ds.get_batch(idx)
+        v_got, l_got = next(it_pref)
+        np.testing.assert_allclose(v_got, v_want)
+        np.testing.assert_allclose(l_got, l_want)

@@ -43,7 +43,11 @@ def make_synthetic_dataset(folder: str | Path, num_samples: int = 8,
     strains = np.linspace(0, 0.2, num_curve_points)
 
     for i in range(num_samples):
-        quarter = generate_geometry(3.0, half, 0.1, 0.4, rng=rng
+        # smoother fields at higher resolution keep the boundary/connectivity
+        # constraints satisfiable (reference uses alpha=6 at 48px,
+        # eval_abaqus.py:22)
+        grf_alpha = 3.0 if half <= 16 else 6.0
+        quarter = generate_geometry(grf_alpha, half, 0.1, 0.4, rng=rng
                                     ).reshape(half, half)
         # 2-fold mirror to the periodic full cell (abaqus_script.py:302-312)
         top = np.concatenate([quarter, np.flip(quarter, axis=0)], axis=0)

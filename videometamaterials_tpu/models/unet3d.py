@@ -22,7 +22,6 @@ padding modes, and the ablation-only CNN/GRU signal embeddings.
 
 from __future__ import annotations
 
-import math
 from typing import Optional, Sequence
 
 import jax

@@ -36,7 +36,10 @@ from flax import struct
 
 from videometamaterials_tpu.config import ModelConfig, TrainerConfig
 from videometamaterials_tpu.data.dataset import VideoDataset, interpolate_labels
-from videometamaterials_tpu.data.loader import InfiniteBatchSampler
+from videometamaterials_tpu.data.loader import (
+    InfiniteBatchSampler,
+    prefetch_batches,
+)
 from videometamaterials_tpu.parallel.mesh import (
     batch_sharding,
     make_mesh,
@@ -234,7 +237,9 @@ class Trainer:
                 print("training completed")
                 return
 
-        data_iter = iter(self.sampler)
+        # background producer thread assembles the next host batch while the
+        # device runs the current step (replaces torch DataLoader workers)
+        batch_iter = prefetch_batches(self.ds, self.sampler)
         rng = self.rng
         start_time = time.time()
         pending_loss = None
@@ -248,8 +253,7 @@ class Trainer:
             if self.profile_dir and step == start_step + 10:
                 jax.profiler.start_trace(str(self.profile_dir))
                 profiling = True
-            idx = next(data_iter)
-            videos, labels = self.ds.get_batch(idx)
+            videos, labels = next(batch_iter)
             videos = self._put_global(videos)
             labels = self._put_global(labels)
             self.state, loss = self._train_step(self.state, videos, labels,
@@ -293,13 +297,13 @@ class Trainer:
         mode_dir = self.results_folder / "training" / f"step_{step}"
         (mode_dir / "gifs").mkdir(parents=True, exist_ok=True)
 
-        # full validation loss sweep (vddp.py:1695-1714)
+        # full validation loss sweep (vddp.py:1695-1714), tail batch included
         losses = []
         rng = jax.random.PRNGKey(self.tcfg.seed + 1234)
         n_val = len(self.ds_test)
         bs = min(self.test_batch, n_val)
-        for i in range(0, n_val - bs + 1, bs):
-            v, c = self.ds_test.get_batch(np.arange(i, i + bs))
+        for i in range(0, n_val, bs):
+            v, c = self.ds_test.get_batch(np.arange(i, min(i + bs, n_val)))
             # pad to a device-count multiple (sharding requires even split)
             v, _ = pad_to_multiple(v, self.n_devices)
             c, _ = pad_to_multiple(c, self.n_devices)
