@@ -16,6 +16,14 @@ import time
 import jax
 import jax.numpy as jnp
 
+# persistent compile cache: XLA compiles take minutes through the remote
+# compile service; warm runs skip them entirely
+try:
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+except Exception:
+    pass
+
 BASELINE_VIDEOS_PER_MIN = 4.0   # README.md:53 (RTX 6000)
 BATCH = 4
 GUIDANCE = 5.0

@@ -103,3 +103,19 @@ def test_prefetch_matches_direct_iteration(synth):
         v_got, l_got = next(it_pref)
         np.testing.assert_allclose(v_got, v_want)
         np.testing.assert_allclose(l_got, l_want)
+
+
+def test_horizontal_flip_augmentation(synth):
+    ds = _ds(synth, horizontal_flip=True, rebuild_cache=False)
+    ds_ref = _ds(synth)
+    # with a fixed flip rng, repeated large batches must contain both
+    # flipped and unflipped variants of sample 0
+    seen_flip, seen_plain = False, False
+    v_ref, _ = ds_ref.get_batch([0])
+    for _ in range(10):
+        v, _ = ds.get_batch([0])
+        if np.allclose(v[0], v_ref[0]):
+            seen_plain = True
+        elif np.allclose(v[0], v_ref[0][:, :, ::-1, :]):
+            seen_flip = True
+    assert seen_flip and seen_plain

@@ -66,13 +66,19 @@ class VideoDataset:
         per_frame_cond: bool = False,
         reference_frame: str = "eulerian",
         force_num_frames: bool = True,
+        horizontal_flip: bool = False,
         rebuild_cache: bool = False,
+        flip_seed: int = 0,
     ):
         self.folder = Path(folder)
         self.image_size = image_size
         self.selected_channels = list(selected_channels)
         self.num_frames = num_frames
         self.reference_frame = reference_frame
+        # augmentation parity with T.RandomHorizontalFlip (vddp.py:1252);
+        # default off, as in the reference entry point
+        self.horizontal_flip = horizontal_flip
+        self._flip_rng = np.random.default_rng(flip_seed)
 
         if reference_frame == "lagrangian" and num_frames == 1:
             # 2-channel topology/s_22 ablation (vddp.py:1370-1392)
@@ -265,6 +271,9 @@ class VideoDataset:
         out = (phys - glo) / (ghi - glo)                  # global renorm
 
         out = out[..., self.selected_channels]
+        if self.horizontal_flip:
+            flips = self._flip_rng.random(len(idx)) < 0.5
+            out[flips] = out[flips, :, :, ::-1, :]
         return np.ascontiguousarray(out), self.labels[idx]
 
     def __getitem__(self, index: int):
