@@ -107,3 +107,24 @@ def test_cfg_batched_equals_sequential(tiny_run):
     want = eps_n + (eps_c - eps_n) * 5.0
     np.testing.assert_allclose(np.asarray(fused), np.asarray(want),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_orbax_checkpoint_backend(tiny_run, tmp_path):
+    """Orbax save/restore round-trips the full train state."""
+    import jax
+    from videometamaterials_tpu.training import checkpoint as ckpt
+    trainer, _ = tiny_run
+    payload = jax.device_get({
+        "step": trainer.state.step,
+        "params": trainer.state.params,
+        "opt_state": trainer.state.opt_state,
+        "ema_params": trainer.state.ema_params,
+    })
+    path = ckpt.save_checkpoint(tmp_path, 7, payload, aux={"step": 7},
+                                backend="orbax")
+    assert path.name == "orbax"
+    restored, aux = ckpt.load_checkpoint(tmp_path, 7, payload)
+    assert aux["step"] == 7
+    jax.tree.map(np.testing.assert_allclose, restored["params"],
+                 payload["params"])
+    assert ckpt.latest_checkpoint_step(tmp_path) == 7

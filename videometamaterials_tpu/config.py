@@ -12,7 +12,7 @@ Here everything is a typed dataclass, YAML round-trippable, snapshot per run
 from __future__ import annotations
 
 import dataclasses
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from pathlib import Path
 from typing import Sequence
 
@@ -92,6 +92,7 @@ class TrainerConfig:
     seed: int = 0
     log: bool = True
     prob_focus_present: float = 0.0
+    checkpoint_backend: str = "msgpack"   # 'msgpack' | 'orbax'
 
     def replace(self, **kw) -> "TrainerConfig":
         return dataclasses.replace(self, **kw)

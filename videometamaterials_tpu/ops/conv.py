@@ -22,8 +22,6 @@ and lets the layer crop (vddp.py:172-185); here that crop is a negative pad.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 from jax import lax

@@ -24,9 +24,8 @@ from __future__ import annotations
 
 import json
 import time
-from functools import partial
 from pathlib import Path
-from typing import Any, Optional, Sequence
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
@@ -420,7 +419,8 @@ class Trainer:
         })
         aux = {"labels_scaling": self.ds.labels_scaling.to_dict(),
                "step": step}
-        path = ckpt.save_checkpoint(self.results_folder, step, payload, aux)
+        path = ckpt.save_checkpoint(self.results_folder, step, payload, aux,
+                                    backend=self.tcfg.checkpoint_backend)
         print(f"checkpoint saved to {path}")
 
     def load_torch_checkpoint(self, path: str | Path, which: str = "both"):
