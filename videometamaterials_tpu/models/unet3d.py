@@ -754,4 +754,6 @@ class UNet3D(nn.Module):
             per_frame_cond=cfg.per_frame_cond,
             padding_mode=cfg.padding_mode,
             compute_dtype=cfg.compute_dtype,
+            use_fused_temporal_block=getattr(
+                cfg, "use_fused_temporal_block", False),
         )
