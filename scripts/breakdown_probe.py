@@ -1,0 +1,83 @@
+#!/usr/bin/env python
+"""Component-level timing of the flagship forward on the TPU tunnel.
+
+Ablates block families (monkeypatched to identity) to attribute ms/forward:
+full, -temporal attention, -spatial linear attention, -both. Scan-based with
+data-dependent inputs (the relay memoizes identical executions)."""
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+sys.path.insert(0, "/root/repo")
+
+ITERS = 16
+BATCH = 16          # CFG-folded batch for a sampling batch of 8
+
+
+def time_variant(name, no_temporal=False, no_linear=False, no_mid=False):
+    import videometamaterials_tpu.models.unet3d as u
+    from videometamaterials_tpu.config import ModelConfig
+    from videometamaterials_tpu.models import UNet3D
+
+    orig_t = u.TemporalAttentionBlock.__call__
+    orig_s = u.SpatialAttentionBlock.__call__
+    orig_l = u.SpatialLinearAttentionBlock.__call__
+    try:
+        if no_temporal:
+            u.TemporalAttentionBlock.__call__ = lambda self, x, **kw: x
+        if no_linear:
+            u.SpatialLinearAttentionBlock.__call__ = \
+                lambda self, x, **kw: x
+        if no_mid:
+            u.SpatialAttentionBlock.__call__ = lambda self, x, **kw: x
+
+        cfg = ModelConfig()
+        model = UNet3D.from_config(cfg)
+        rng = jax.random.PRNGKey(0)
+        params = jax.jit(model.init)(
+            rng, jnp.zeros((1, 11, 96, 96, 3), jnp.float32),
+            jnp.zeros((1,), jnp.int32), jnp.zeros((1, 11)))
+        t = jnp.zeros((BATCH,), jnp.int32)
+        c = jnp.zeros((BATCH, 11))
+
+        def body(img, i):
+            eps = model.apply(params, img, t + i, c)
+            return img - 0.01 * eps, None
+
+        @jax.jit
+        def scan_n(img):
+            out, _ = jax.lax.scan(body, img, jnp.arange(ITERS))
+            return out
+
+        img = jax.random.normal(rng, (BATCH, 11, 96, 96, 3), jnp.float32)
+        t0 = time.time()
+        out = scan_n(img)
+        jax.block_until_ready(out)
+        warm = time.time() - t0
+        t0 = time.time()
+        out = scan_n(out)
+        jax.block_until_ready(out)
+        dt = time.time() - t0
+        print(json.dumps({"variant": name, "warm_s": round(warm, 1),
+                          "ms_per_forward": round(dt / ITERS * 1000, 1)}),
+              flush=True)
+    except Exception as e:  # noqa: BLE001
+        print(json.dumps({"variant": name, "error": repr(e)[:300]}),
+              flush=True)
+    finally:
+        u.TemporalAttentionBlock.__call__ = orig_t
+        u.SpatialAttentionBlock.__call__ = orig_s
+        u.SpatialLinearAttentionBlock.__call__ = orig_l
+
+
+if __name__ == "__main__":
+    time_variant("full")
+    time_variant("no_temporal", no_temporal=True)
+    time_variant("no_linear", no_linear=True)
+    time_variant("convs_only", no_temporal=True, no_linear=True, no_mid=True)

@@ -128,3 +128,90 @@ def test_orbax_checkpoint_backend(tiny_run, tmp_path):
     jax.tree.map(np.testing.assert_allclose, restored["params"],
                  payload["params"])
     assert ckpt.latest_checkpoint_step(tmp_path) == 7
+
+
+def test_milestone_path_inside_train_loop(tiny_run, tmp_path):
+    """train() itself must trigger the periodic eval+save branch
+    (vddp.py:1641-1655): milestone artifacts and a checkpoint appear without
+    any direct eval_network/save call."""
+    trainer, root = tiny_run
+    mcfg = trainer.mcfg
+    tcfg = trainer.tcfg.replace(train_num_steps=4, save_and_sample_every=2,
+                                num_samples=1, num_preds=1)
+    t2 = Trainer(trainer.diffusion, mcfg, tcfg,
+                 root / "train", root / "val",
+                 results_folder=tmp_path / "mile", run_name="mile")
+    t2.train()
+    assert (tmp_path / "mile" / "training" / "step_2" / "gifs"
+            / "prediction_channel_0.gif").exists()
+    assert (tmp_path / "mile" / "model" / "step_2"
+            / "checkpoint.msgpack").exists()
+    assert (tmp_path / "mile" / "model" / "step_4"
+            / "checkpoint.msgpack").exists()
+    # validation loss was logged by the in-loop eval
+    lines = (tmp_path / "mile" / "metrics.jsonl").read_text().splitlines()
+    assert any("validation loss" in ln for ln in lines)
+
+
+def test_strict_false_tolerates_optimizer_mismatch(tiny_run, tmp_path):
+    """Resume after an optimizer-config change: params restore, optimizer
+    falls back to fresh state with a warning (vddp.py:1582-1585 semantics);
+    strict=True refuses."""
+    import jax
+    import pytest as _pytest
+
+    trainer, root = tiny_run
+    step = trainer.tcfg.train_num_steps
+    # a trainer whose optax chain has an extra clip stage -> different
+    # opt_state structure than the saved checkpoint
+    tcfg2 = trainer.tcfg.replace(max_grad_norm=1.0)
+    t2 = Trainer(trainer.diffusion, trainer.mcfg, tcfg2,
+                 root / "train", root / "val",
+                 results_folder=root / "runs" / "tiny", run_name="tiny")
+    fresh_opt = jax.device_get(t2.state.opt_state)
+
+    with _pytest.raises((ValueError, KeyError)):
+        t2.load(step, strict=True)
+
+    with _pytest.warns(UserWarning, match="new optimizer"):
+        t2.load(step, strict=False)
+    # params came from the checkpoint...
+    jax.tree.map(np.testing.assert_allclose,
+                 jax.device_get(t2.state.params),
+                 jax.device_get(trainer.state.params))
+    # ...while the optimizer kept its fresh (clip-stage) structure
+    assert jax.tree_util.tree_structure(jax.device_get(t2.state.opt_state)) \
+        == jax.tree_util.tree_structure(fresh_opt)
+    assert int(t2.state.step) == step
+
+
+def test_keep_last_n_retention(tmp_path):
+    from videometamaterials_tpu.training import checkpoint as ckpt
+
+    payload = {"params": {"w": np.ones((2,), np.float32)}, "step": 0}
+    for s in (10, 20, 30):
+        ckpt.save_checkpoint(tmp_path, s, payload, keep_last=2)
+    assert not (tmp_path / "model" / "step_10").exists()
+    assert (tmp_path / "model" / "step_20" / "checkpoint.msgpack").exists()
+    assert ckpt.latest_checkpoint_step(tmp_path) == 30
+
+
+def test_strict_false_partial_param_graft(tmp_path):
+    """Leaves whose path+shape match graft; the rest keep template values
+    with warnings (reference strict=False load, vddp.py:1577-1580)."""
+    import pytest as _pytest
+
+    from videometamaterials_tpu.training import checkpoint as ckpt
+
+    saved = {"params": {"a": np.full((3,), 2.0, np.float32),
+                        "b": np.full((4,), 3.0, np.float32)}}
+    ckpt.save_checkpoint(tmp_path, 1, saved)
+    template = {"params": {"a": np.zeros((3,), np.float32),
+                           "b": np.zeros((5,), np.float32),   # shape changed
+                           "c": np.zeros((2,), np.float32)}}  # new param
+    with _pytest.warns(UserWarning):
+        restored, _ = ckpt.load_checkpoint(tmp_path, 1, template,
+                                           strict=False)
+    np.testing.assert_allclose(restored["params"]["a"], 2.0)
+    np.testing.assert_allclose(restored["params"]["b"], 0.0)
+    np.testing.assert_allclose(restored["params"]["c"], 0.0)

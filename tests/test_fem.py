@@ -39,6 +39,15 @@ def test_abaqus_command_format():
     cmd = abaqus_command("abq.py", "samples", 3, True, 48)
     assert cmd == ("abaqus cae noGUI=abq.py -- --samples_path samples "
                    "--sample_index 3 --store_frames True --pixels 48")
+    # the reference's in-file toggles (abaqus_script.py:49-59) ride along as
+    # flags the builder script parses
+    cmd = abaqus_command("abq.py", "samples", 3, True, 48,
+                         solver="explicit", material="neo_hooke",
+                         y_periodicity=True, bounding_box=True, radius=0.01)
+    for part in ("--solver explicit", "--material neo_hooke",
+                 "--y_periodicity True", "--bounding_box True",
+                 "--radius 0.01"):
+        assert part in cmd
 
 
 def _write_fake_csvs(csv_dir, pixels=8, frames=3, lagr=True):

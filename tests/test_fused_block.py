@@ -75,11 +75,10 @@ def test_module_fused_path_matches_unfused():
     per-frame conditioned keys."""
     os.environ["VMT_PALLAS_INTERPRET"] = "1"
     try:
-        attn = Attention(dim=C, heads=HEADS, dim_head=D, use_rotary=True,
-                         cond_attention="self-stacked", cond_dim=12,
-                         per_frame_cond=True, dtype=jnp.float32)
-        block_x = TemporalAttentionBlock(dim=C, attn=attn,
-                                         use_fused_block=False)
+        kw = dict(dim=C, heads=HEADS, dim_head=D, use_rotary=True,
+                  cond_attention="self-stacked", cond_dim=12,
+                  per_frame_cond=True, dtype=jnp.float32)
+        block_x = TemporalAttentionBlock(**kw, use_fused_block=False)
         rng = jax.random.PRNGKey(0)
         h = w = 4
         x = jax.random.normal(rng, (B, F, h, w, C))
@@ -88,8 +87,7 @@ def test_module_fused_path_matches_unfused():
         params = block_x.init(rng, x, pos_bias=pos_bias, label_emb=label)
         want = block_x.apply(params, x, pos_bias=pos_bias, label_emb=label)
 
-        block_f = TemporalAttentionBlock(dim=C, attn=attn,
-                                         use_fused_block=True)
+        block_f = TemporalAttentionBlock(**kw, use_fused_block=True)
 
         # bypass the TPU-platform gate for the interpret-mode test
         object.__setattr__(block_f, "_fused_ok",

@@ -1,0 +1,57 @@
+"""Two-process multi-host bring-up test (SURVEY.md §5.8).
+
+Spawns a cooperating process pair that initializes the JAX distributed
+runtime over a local coordinator, assembles a global batch from per-process
+stripes (the Trainer._put_global mechanics), and checks the globally-reduced
+result equals the single-process computation — proving the per-host feeding
+path the reference covers with gloo CPU runs (/root/reference/main.py:31)."""
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+
+def _free_port():
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def test_two_process_global_batch(tmp_path):
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    worker = os.path.join(repo, "tests", "_multihost_worker.py")
+    port = _free_port()
+
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+
+    procs = [subprocess.Popen(
+        [sys.executable, worker, str(port), str(pid), str(tmp_path)],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+        for pid in range(2)]
+    outs = [p.communicate(timeout=300)[0] for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{out[-2000:]}"
+
+    d = 5
+    global_batch = np.arange(8 * d, dtype=np.float32).reshape(8, d)
+    want = float(np.mean(global_batch * global_batch))
+    for pid in range(2):
+        got = float(open(tmp_path / f"out_{pid}.txt").read())
+        assert abs(got - want) < 1e-4, (pid, got, want)
+
+
+def test_single_process_is_noop(monkeypatch):
+    from videometamaterials_tpu.parallel.mesh import initialize_distributed
+
+    for var in ("JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
+                "SLURM_JOB_NUM_NODES", "TPU_WORKER_HOSTNAMES"):
+        monkeypatch.delenv(var, raising=False)
+    assert initialize_distributed() is False

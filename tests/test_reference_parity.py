@@ -1,0 +1,173 @@
+"""Full-model numerical A/B against the reference PyTorch implementation.
+
+Instantiates the actual reference Unet3D/GaussianDiffusion from
+/root/reference (with minimal shims for the two uninstalled helper packages,
+tests/ref_shims/), exports its real state dict through the torch importer,
+and asserts the JAX rebuild matches:
+
+  - Unet3D.forward, conditional and null branches (vddp.py:730-821),
+  - forward_with_guidance_scale (vddp.py:715-728) vs the folded-CFG forward,
+  - GaussianDiffusion.p_mean_variance incl. dynamic thresholding
+    (vddp.py:935-954) with the torch-exact 'sort' quantile.
+
+This pins the conditioning minutiae (rotary on cond keys, bias slicing,
+self-stacked k/v alignment, null-token handling; vddp.py:451-512) to the real
+module tree rather than synthetic state dicts (SURVEY.md §7.3 items 1-2).
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+_SHIMS = os.path.join(os.path.dirname(os.path.abspath(__file__)), "ref_shims")
+_REF = "/root/reference"
+
+# tiny-but-full config: both resolutions, attention at every site,
+# per-frame conditioning (which forces 11 frames: vddp.py:603)
+DIM = 16
+DIM_MULTS = (1, 2)
+CHANNELS = 3
+HEADS = 2
+DIM_HEAD = 8
+IMG = 16
+FRAMES = 11
+TIMESTEPS = 8
+
+
+@pytest.fixture(scope="module")
+def vddp():
+    if not os.path.isdir(_REF):
+        pytest.skip("reference checkout not available")
+    for p in (_SHIMS, _REF):
+        if p not in sys.path:
+            sys.path.insert(0, p)
+    import denoising_diffusion_pytorch.video_denoising_diffusion_pytorch as m
+    return m
+
+
+@pytest.fixture(scope="module")
+def pair(vddp):
+    """(torch (unet, diffusion), jax (model, diffusion, params))."""
+    import jax
+    import jax.numpy as jnp
+
+    from videometamaterials_tpu.diffusion import GaussianDiffusion
+    from videometamaterials_tpu.models import UNet3D
+    from videometamaterials_tpu.training.torch_import import import_state_dict
+
+    torch.manual_seed(0)
+    t_unet = vddp.Unet3D(
+        dim=DIM, dim_mults=DIM_MULTS, channels=CHANNELS, attn_heads=HEADS,
+        attn_dim_head=DIM_HEAD, init_kernel_size=3,
+        use_sparse_linear_attn=True, resnet_groups=8,
+        use_temporal_attention_cond=True, cond_to_time="add",
+        per_frame_cond=True, padding_mode="zeros").eval()
+    t_diff = vddp.GaussianDiffusion(
+        t_unet, image_size=IMG, num_frames=FRAMES, channels=CHANNELS,
+        timesteps=TIMESTEPS, loss_type="l1", use_dynamic_thres=True,
+        sampling_timesteps=TIMESTEPS).eval()
+
+    j_unet = UNet3D(
+        dim=DIM, dim_mults=DIM_MULTS, channels=CHANNELS, attn_heads=HEADS,
+        attn_dim_head=DIM_HEAD, init_kernel_size=3,
+        use_sparse_linear_attn=True, resnet_groups=8,
+        use_temporal_attention_cond=True, cond_to_time="add",
+        per_frame_cond=True, padding_mode="zeros", compute_dtype="float32")
+    j_diff = GaussianDiffusion(
+        model=j_unet, image_size=IMG, num_frames=FRAMES, channels=CHANNELS,
+        timesteps=TIMESTEPS, loss_type="l1", use_dynamic_thres=True,
+        dynamic_thres_method="sort", sampling_timesteps=TIMESTEPS)
+
+    rng = jax.random.PRNGKey(0)
+    template = j_unet.init(
+        rng, jnp.zeros((1, FRAMES, IMG, IMG, CHANNELS)),
+        jnp.zeros((1,), jnp.int32), jnp.zeros((1, FRAMES)))
+    # the REAL reference state dict: denoise_fn.-prefixed params + schedule
+    # buffers + rotary inv_freq buffers, exactly as checkpoint.pt stores it
+    state = {k: v.detach().cpu().numpy()
+             for k, v in t_diff.state_dict().items()}
+    params = import_state_dict(state, template,
+                               num_resolutions=len(DIM_MULTS), strict=True)
+    params = jax.tree.map(jnp.asarray, params)
+    return (t_unet, t_diff), (j_unet, j_diff, params)
+
+
+def _inputs(seed=0, batch=2):
+    rng = np.random.RandomState(seed)
+    x = rng.standard_normal((batch, CHANNELS, FRAMES, IMG, IMG)).astype(
+        np.float32)
+    t = np.array([3, TIMESTEPS - 1][:batch], dtype=np.int64)
+    cond = rng.uniform(-1.0, 1.0, (batch, FRAMES)).astype(np.float32)
+    return x, t, cond
+
+
+def _to_jax_video(x):
+    return np.transpose(x, (0, 2, 3, 4, 1))      # (b,c,f,h,w)->(b,f,h,w,c)
+
+
+def _to_torch_video(x):
+    return np.transpose(x, (0, 4, 1, 2, 3))
+
+
+def test_forward_parity_cond_and_null(pair):
+    import jax.numpy as jnp
+
+    (t_unet, _), (j_unet, _, params) = pair
+    x, t, cond = _inputs()
+
+    for null in (False, True):
+        with torch.no_grad():
+            ref = t_unet(torch.from_numpy(x), torch.from_numpy(t),
+                         cond=torch.from_numpy(cond),
+                         null_cond_prob=1.0 if null else 0.0).numpy()
+        got = j_unet.apply(
+            params, jnp.asarray(_to_jax_video(x)), jnp.asarray(t),
+            jnp.asarray(cond),
+            null_cond_mask=jnp.full((x.shape[0],), null, dtype=bool))
+        np.testing.assert_allclose(
+            _to_jax_video(ref), np.asarray(got), atol=2e-4, rtol=1e-3,
+            err_msg=f"forward mismatch (null={null})")
+
+
+def test_guidance_scale_parity(pair):
+    import jax.numpy as jnp
+
+    (t_unet, _), (_, j_diff, params) = pair
+    x, t, cond = _inputs(seed=1)
+
+    with torch.no_grad():
+        ref = t_unet.forward_with_guidance_scale(
+            torch.from_numpy(x), torch.from_numpy(t),
+            cond=torch.from_numpy(cond), guidance_scale=5.0).numpy()
+    got = j_diff.guided_eps(params, jnp.asarray(_to_jax_video(x)),
+                            jnp.asarray(t), jnp.asarray(cond),
+                            guidance_scale=5.0)
+    np.testing.assert_allclose(_to_jax_video(ref), np.asarray(got),
+                               atol=1e-3, rtol=1e-3)
+
+
+def test_p_mean_variance_parity(pair):
+    """One full sampler-step worth of math: guided eps -> x0 -> dynamic
+    threshold (torch-exact quantile) -> posterior moments."""
+    import jax.numpy as jnp
+
+    (_, t_diff), (_, j_diff, params) = pair
+    x, t, cond = _inputs(seed=2)
+
+    with torch.inference_mode():
+        r_mean, r_var, r_logvar = t_diff.p_mean_variance(
+            torch.from_numpy(x), torch.from_numpy(t), clip_denoised=True,
+            cond=torch.from_numpy(cond), guidance_scale=5.0)
+    g_mean, g_var, g_logvar = j_diff.p_mean_variance(
+        params, jnp.asarray(_to_jax_video(x)), jnp.asarray(t),
+        jnp.asarray(cond), guidance_scale=5.0)
+
+    np.testing.assert_allclose(_to_jax_video(r_mean.numpy()),
+                               np.asarray(g_mean), atol=2e-4, rtol=1e-3)
+    np.testing.assert_allclose(r_logvar.numpy().reshape(-1),
+                               np.asarray(g_logvar).reshape(-1),
+                               atol=1e-5, rtol=1e-5)

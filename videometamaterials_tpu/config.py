@@ -95,7 +95,8 @@ class TrainerConfig:
     seed: int = 0
     log: bool = True
     prob_focus_present: float = 0.0
-    checkpoint_backend: str = "msgpack"   # 'msgpack' | 'orbax'
+    checkpoint_backend: str = "msgpack"   # 'msgpack' | 'orbax' (async)
+    keep_last_checkpoints: int | None = None  # None = keep every milestone
 
     def replace(self, **kw) -> "TrainerConfig":
         return dataclasses.replace(self, **kw)

@@ -55,19 +55,39 @@ parser.add_argument('--store_frames', type=str, required=False, default='')
 parser.add_argument('--pixels', type=int, required=False, default=48)
 parser.add_argument('--strain', type=float, required=False, default=-0.2)
 parser.add_argument('--numEvalIntervals', type=int, required=False, default=50)
+parser.add_argument('--bounding_box', type=str, required=False, default='')
 parser.add_argument('--radius', type=float, required=False, default=0.)
 parser.add_argument('--density', type=float, required=False, default=1.e-8)
 parser.add_argument('--coarseness', type=float, required=False, default=0.015)
+# the reference keeps these as in-file toggles (abaqus_script.py:49-59);
+# exposed here as flags with the reference defaults
+parser.add_argument('--solver', type=str, required=False, default='implicit',
+                    choices=('implicit', 'static', 'explicit'))
+parser.add_argument('--material', type=str, required=False,
+                    default='Jin_et_al',
+                    choices=('Jin_et_al', 'neo_hooke'))
+parser.add_argument('--y_periodicity', type=str, required=False, default='')
+parser.add_argument('--splined', type=str, required=False, default='True')
 args, _unknown = parser.parse_known_args()
+
+
+def _flag(s):
+    return s in ('True', 'true', '1')
+
 
 samples_path = args.samples_path
 sample_index = args.sample_index
-store_frames = args.store_frames in ('True', 'true', '1')
+store_frames = _flag(args.store_frames)
 pixels = args.pixels
 strain = args.strain
 numEvalIntervals = args.numEvalIntervals
 density = args.density
 coarseness = args.coarseness
+solver = args.solver
+material = args.material
+y_periodicity = _flag(args.y_periodicity)
+bounding_box = _flag(args.bounding_box)
+splined = _flag(args.splined)
 
 strain_spacing = np.linspace(0., np.abs(strain), numEvalIntervals + 1)
 
@@ -107,108 +127,22 @@ JIN_PLASTIC_TABLE = (
     (83.00, 0.1276))
 
 
-# ------------------------------------------------------------------- geometry
+# ---------------------------------------------------------- geometry import
+# The geometry math (loop tracing, corner reduction, spline anchoring,
+# radius corner-rounding) lives in the pure-numpy, unit-tested module
+# fem/part_geometry.py; this script just replays the sketch plan.
+import sys  # noqa: E402
 
-def mirror_periodic(quarter):
-    """2-fold mirror a quarter geometry into the periodic full cell
-    (abaqus_script.py:302-312)."""
-    geom_dr = np.flip(quarter, 0)
-    geom_ul = np.flip(quarter, 1)
-    geom_ur = np.flip(geom_ul, 0)
-    geom_d = np.concatenate((quarter, geom_dr), axis=0)
-    geom_u = np.concatenate((geom_ul, geom_ur), axis=0)
-    return np.concatenate((geom_u, geom_d), axis=1)
-
-
-def build_part_from_pixels(geom, n, radius=0.):
-    """Trace boundary loops of the pixel geometry and sketch them as closed
-    polylines (optionally splined), producing one planar part.
-
-    Returns (surface probe points per loop, an interior probe point).
-    Cleaner equivalent of the reference's boundary-edge chain tracing
-    (abaqus_script.py:79-289)."""
-    px = 1.0 / n
-
-    # boundary edges between solid and void (grid graph, half-open pixels)
-    # each edge is ((x0,y0),(x1,y1)) in unit-cell coordinates, y up
-    solid = geom.astype(bool)
-
-    def cell(i, j):
-        if 0 <= i < n and 0 <= j < n:
-            return solid[i, j]
-        return False
-
-    edges = {}
-
-    def add_edge(p0, p1):
-        edges.setdefault(p0, []).append(p1)
-        edges.setdefault(p1, []).append(p0)
-
-    for i in range(n):        # i = row from top (matrix convention)
-        for j in range(n):
-            if not cell(i, j):
-                continue
-            x0, x1 = j * px, (j + 1) * px
-            y1, y0 = 1.0 - i * px, 1.0 - (i + 1) * px
-            if not cell(i - 1, j):
-                add_edge((x0, y1), (x1, y1))
-            if not cell(i + 1, j):
-                add_edge((x0, y0), (x1, y0))
-            if not cell(i, j - 1):
-                add_edge((x0, y0), (x0, y1))
-            if not cell(i, j + 1):
-                add_edge((x1, y0), (x1, y1))
-
-    # walk closed loops
-    loops = []
-    visited = set()
-    for start in list(edges.keys()):
-        for nxt in edges[start]:
-            if (start, nxt) in visited:
-                continue
-            loop = [start, nxt]
-            visited.add((start, nxt))
-            visited.add((nxt, start))
-            while loop[-1] != start:
-                cur, prev = loop[-1], loop[-2]
-                neighbors = [p for p in edges[cur] if p != prev
-                             and (cur, p) not in visited]
-                if not neighbors:
-                    break
-                nxt2 = neighbors[0]
-                visited.add((cur, nxt2))
-                visited.add((nxt2, cur))
-                loop.append(nxt2)
-            if loop[-1] == start and len(loop) > 3:
-                loops.append(loop[:-1])
-
-    sketch = m.ConstrainedSketch(name='__cell__', sheetSize=4.0)
-    for loop in loops:
-        pts = [tuple(p) for p in loop]
-        if radius > 0 and len(pts) > 4:
-            sketch.Spline(points=pts + [pts[0]])
-        else:
-            for a in range(len(pts)):
-                sketch.Line(point1=pts[a], point2=pts[(a + 1) % len(pts)])
-    part = m.Part(dimensionality=TWO_D_PLANAR, name=PART,  # noqa: F821
-                  type=DEFORMABLE_BODY)                     # noqa: F821
-    part.BaseShell(sketch=sketch)
-    del m.sketches['__cell__']
-
-    # probe points: midpoints of loop edges (for Surface defs), one interior
-    surf_probes = []
-    for loop in loops:
-        probes = []
-        for a in range(len(loop)):
-            p0, p1 = loop[a], loop[(a + 1) % len(loop)]
-            probes.append((((p0[0] + p1[0]) / 2.0,
-                            (p0[1] + p1[1]) / 2.0, 0.0),))
-        surf_probes.append(probes)
-
-    ii, jj = np.argwhere(solid)[0]
-    interior = ((jj + 0.5) * px, 1.0 - (ii + 0.5) * px, 0.0)
-    return surf_probes, interior
-
+try:
+    _here = os.path.dirname(os.path.abspath(__file__))
+except NameError:              # some Abaqus builds exec without __file__
+    _here = os.getcwd()
+sys.path.insert(0, os.path.dirname(os.path.dirname(_here)))
+from videometamaterials_tpu.fem.part_geometry import (  # noqa: E402
+    apply_bounding_box,
+    mirror_periodic,
+    sketch_plan,
+)
 
 # -------------------------------------------------------------------- build
 
@@ -216,24 +150,52 @@ geometries = np.genfromtxt(os.path.join(samples_path, 'geometries.csv'),
                            delimiter=',').reshape(-1, pixels, pixels)
 selected_geometry = geometries[sample_index]
 
+if bounding_box:               # abaqus_script.py:296-300
+    selected_geometry = apply_bounding_box(selected_geometry)
+
 geom = mirror_periodic(selected_geometry)
 cad_pixels = 2 * pixels
 
-surf_probes, interior_pt = build_part_from_pixels(geom, cad_pixels,
-                                                  args.radius)
-part = m.parts[PART]
+plan = sketch_plan(geom, splined=splined, radius=args.radius)
 
-for idx, probes in enumerate(surf_probes):
-    part.Surface(name='Surf_%d' % idx,
-                 side1Edges=part.edges.findAt(*tuple(probes)))
-num_surf = len(surf_probes)
+sketch = m.ConstrainedSketch(name='__cell__', sheetSize=4.0)
+for seg in plan['segments']:
+    if seg[0] == 'line':
+        sketch.Line(point1=tuple(seg[1]), point2=tuple(seg[2]))
+    elif seg[0] == 'spline':
+        sketch.Spline(points=[tuple(p) for p in seg[1]])
+    else:                       # ('arc', center, clockwise, p1, p2)
+        sketch.ArcByCenterEnds(
+            center=tuple(seg[1]),
+            direction=CLOCKWISE if seg[2] else COUNTERCLOCKWISE,  # noqa: F821
+            point1=tuple(seg[3]), point2=tuple(seg[4]))
+part = m.Part(dimensionality=TWO_D_PLANAR, name=PART,      # noqa: F821
+              type=DEFORMABLE_BODY)                          # noqa: F821
+part.BaseShell(sketch=sketch)
+del m.sketches['__cell__']
+
+interior_pt = (plan['interior_point'][0], plan['interior_point'][1], 0.0)
+for idx, probes in enumerate(plan['surf_probes']):
+    pts = tuple(((p[0], p[1], 0.0),) for p in probes)
+    part.Surface(name='Surf_%d' % idx, side1Edges=part.edges.findAt(*pts))
+num_surf = len(plan['surf_probes'])
+if plan['outer_probes']:       # abaqus_script.py:325-327
+    pts = tuple(((p[0], p[1], 0.0),) for p in plan['outer_probes'])
+    part.Surface(name='Surf_outer', side1Edges=part.edges.findAt(*pts))
 
 # material + section (abaqus_script.py:330-372)
 m.Material(name=MATERIAL)
-m.materials[MATERIAL].Elastic(table=((2.306e3, 0.35),))
-m.materials[MATERIAL].Density(table=((density,),))
-m.materials[MATERIAL].Damping(beta=0.005)
-m.materials[MATERIAL].Plastic(table=JIN_PLASTIC_TABLE)
+if material == 'Jin_et_al':
+    m.materials[MATERIAL].Elastic(table=((2.306e3, 0.35),))
+    m.materials[MATERIAL].Density(table=((density,),))
+    m.materials[MATERIAL].Damping(beta=0.005)
+    m.materials[MATERIAL].Plastic(table=JIN_PLASTIC_TABLE)
+else:                           # neo-Hookean (abaqus_script.py:356-360)
+    m.materials[MATERIAL].Density(table=((density,),))
+    m.materials[MATERIAL].Hyperelastic(
+        materialType=ISOTROPIC,                              # noqa: F821
+        table=((0.192311, 0.288461),), testData=OFF,         # noqa: F821
+        type=NEO_HOOKE, volumetricResponse=VOLUMETRIC_DATA)  # noqa: F821
 m.HomogeneousSolidSection(material=MATERIAL, name='Section-1', thickness=None)
 part.Set(faces=part.faces.findAt((interior_pt,)), name='FullSet')
 part.SectionAssignment(offset=0.0, offsetField='',
@@ -241,11 +203,13 @@ part.SectionAssignment(offset=0.0, offsetField='',
                        region=part.sets['FullSet'], sectionName='Section-1',
                        thicknessAssignment=FROM_SECTION)      # noqa: F821
 
-# mesh: CPE4R/CPE3 plane strain (abaqus_script.py:374-391)
+# mesh: plane strain, CPE4 for static / CPE4R otherwise
+# (abaqus_script.py:374-391)
 part.seedPart(deviationFactor=0.1, minSizeFactor=0.1, size=coarseness)
 part.generateMesh()
+quad_code = CPE4 if solver == 'static' else CPE4R               # noqa: F821
 part.setElementType(
-    elemTypes=(ElemType(elemCode=CPE4R, elemLibrary=STANDARD,   # noqa: F821
+    elemTypes=(ElemType(elemCode=quad_code, elemLibrary=STANDARD,  # noqa: F821
                         secondOrderAccuracy=OFF,                # noqa: F821
                         hourglassControl=DEFAULT,               # noqa: F821
                         distortionControl=DEFAULT),             # noqa: F821
@@ -295,13 +259,24 @@ ra.Set(name='TopLineSet',
 ra.Set(name='BotLineSet',
        referencePoints=(ra.instances['BotLine-1'].referencePoints[2],))
 
-# implicit dynamics step (abaqus_script.py:482-493)
-m.ImplicitDynamicsStep(name='Step-1', previous='Initial', timePeriod=1.0,
-                       nlgeom=ON, initialInc=1e-3, minInc=1e-8,  # noqa: F821
-                       maxNumInc=400, alpha=DEFAULT,             # noqa: F821
-                       amplitude=RAMP,                           # noqa: F821
-                       application=MODERATE_DISSIPATION,         # noqa: F821
-                       initialConditions=OFF)                    # noqa: F821
+# solver step (abaqus_script.py:479-504)
+if solver == 'explicit':
+    m.ExplicitDynamicsStep(improvedDtMethod=ON, name='Step-1',   # noqa: F821
+                           previous='Initial')
+elif solver == 'static':
+    m.StaticStep(name='Step-1', nlgeom=ON, previous='Initial')   # noqa: F821
+    m.AdaptiveMeshControl(name='Ada-1')   # ALE remeshing (abaqus_script:499)
+    m.steps['Step-1'].AdaptiveMeshDomain(
+        controls='Ada-1', region=ra.instances['Part-1-1'].sets['FullSet'],
+        frequency=5, meshSweeps=3)
+else:
+    m.ImplicitDynamicsStep(name='Step-1', previous='Initial',
+                           timePeriod=1.0,
+                           nlgeom=ON, initialInc=1e-3, minInc=1e-8,  # noqa: F821
+                           maxNumInc=400, alpha=DEFAULT,             # noqa: F821
+                           amplitude=RAMP,                           # noqa: F821
+                           application=MODERATE_DISSIPATION,         # noqa: F821
+                           initialConditions=OFF)                    # noqa: F821
 
 # contact (abaqus_script.py:506-567)
 m.ContactProperty('IntProp-1')
@@ -320,21 +295,44 @@ m.interactionProperties['SlipContact'].NormalBehavior(
     allowSeparation=ON, constraintEnforcementMethod=DEFAULT,    # noqa: F821
     pressureOverclosure=HARD)                                   # noqa: F821
 
-for idx in range(num_surf):
-    m.SelfContactStd(createStepName='Step-1',
-                     interactionProperty='IntProp-1',
-                     name='Int-1-%d' % (idx + 1),
-                     surface=ra.instances['Part-1-1'].surfaces
-                     ['Surf_%d' % idx], thickness=ON)           # noqa: F821
-for name, inst, surf in (('TopContact', 'TopLine-1', 'TopSurf'),
-                         ('BotContact', 'BotLine-1', 'BotSurf')):
-    m.SurfaceToSurfaceContactStd(
-        adjustMethod=NONE, clearanceRegion=None,                # noqa: F821
-        createStepName='Step-1', datumAxis=None,
-        initialClearance=OMIT, interactionProperty='SlipContact',  # noqa: F821
-        master=ra.instances[inst].surfaces[surf], name=name,
-        slave=ra.instances['Part-1-1'].surfaces['Surf_0'],
-        sliding=FINITE, thickness=ON)                           # noqa: F821
+# explicit vs standard contact (abaqus_script.py:521-567); the plate
+# contacts exist only when nodes are not tied periodically in y
+if solver == 'explicit':
+    for idx in range(num_surf):
+        m.SelfContactExp(createStepName='Step-1',
+                         interactionProperty='IntProp-1',
+                         mechanicalConstraint=KINEMATIC,        # noqa: F821
+                         name='Int-1-%d' % (idx + 1),
+                         surface=ra.instances['Part-1-1'].surfaces
+                         ['Surf_%d' % idx])
+    if not y_periodicity:
+        for name, inst, surf in (('TopContact', 'TopLine-1', 'TopSurf'),
+                                 ('BotContact', 'BotLine-1', 'BotSurf')):
+            m.SurfaceToSurfaceContactExp(
+                clearanceRegion=None, createStepName='Step-1',
+                datumAxis=None, initialClearance=OMIT,          # noqa: F821
+                interactionProperty='SlipContact',
+                master=ra.instances[inst].surfaces[surf], name=name,
+                slave=ra.instances['Part-1-1'].surfaces['Surf_0'],
+                sliding=FINITE)                                 # noqa: F821
+else:
+    for idx in range(num_surf):
+        m.SelfContactStd(createStepName='Step-1',
+                         interactionProperty='IntProp-1',
+                         name='Int-1-%d' % (idx + 1),
+                         surface=ra.instances['Part-1-1'].surfaces
+                         ['Surf_%d' % idx], thickness=ON)       # noqa: F821
+    if not y_periodicity:
+        for name, inst, surf in (('TopContact', 'TopLine-1', 'TopSurf'),
+                                 ('BotContact', 'BotLine-1', 'BotSurf')):
+            m.SurfaceToSurfaceContactStd(
+                adjustMethod=NONE, clearanceRegion=None,        # noqa: F821
+                createStepName='Step-1', datumAxis=None,
+                initialClearance=OMIT,                          # noqa: F821
+                interactionProperty='SlipContact',
+                master=ra.instances[inst].surfaces[surf], name=name,
+                slave=ra.instances['Part-1-1'].surfaces['Surf_0'],
+                sliding=FINITE, thickness=ON)                   # noqa: F821
 
 # outputs: one extra strain step sampled to mitigate inertia
 # (abaqus_script.py:571-573)
@@ -358,10 +356,11 @@ m.HistoryOutputRequest(createStepName='Step-1', name='H-Output-1',
                        region=ra.sets['TopLineSet'],
                        sectionPoints=DEFAULT,                   # noqa: F821
                        variables=('U2', 'RF2'), timePoint='TimePoints-2')
+# explicit has no static-dissipation energy (abaqus_script.py:615-622)
+_energy_vars = (('ALLAE', 'ALLKE', 'ALLIE', 'ETOTAL') if solver == 'explicit'
+                else ('ALLAE', 'ALLSD', 'ALLKE', 'ALLIE', 'ETOTAL'))
 m.HistoryOutputRequest(createStepName='Step-1', name='H-Output-2',
-                       timePoint='TimePoints-2',
-                       variables=('ALLAE', 'ALLSD', 'ALLKE', 'ALLIE',
-                                  'ETOTAL'))
+                       timePoint='TimePoints-2', variables=_energy_vars)
 
 m.SmoothStepAmplitude(data=((0.0, 0.0), (1.0, 1.0)), name='Amp-1',
                       timeSpan=STEP)                            # noqa: F821
@@ -382,24 +381,32 @@ m.DisplacementBC(amplitude='Amp-1', createStepName='Step-1',
                  fixed=OFF, localCsys=None, name='BC-3',        # noqa: F821
                  region=ra.sets['TopLineSet'], u1=UNSET,        # noqa: F821
                  u2=strain, ur3=UNSET)                          # noqa: F821
-m.DisplacementBC(amplitude=UNSET, createStepName='Initial',     # noqa: F821
-                 distributionType=UNIFORM, fieldName='',        # noqa: F821
-                 localCsys=None, name='BC-4',
-                 region=ra.sets['BotNodesSet'], u1=SET, u2=SET,  # noqa: F821
-                 ur3=UNSET)                                     # noqa: F821
-m.DisplacementBC(amplitude=UNSET, createStepName='Initial',     # noqa: F821
-                 distributionType=UNIFORM, fieldName='',        # noqa: F821
-                 localCsys=None, name='BC-5',
-                 region=ra.sets['TopNodesSet'], u1=SET,         # noqa: F821
-                 u2=UNSET, ur3=UNSET)                           # noqa: F821
-m.DisplacementBC(amplitude='Amp-1', createStepName='Step-1',
-                 distributionType=UNIFORM, fieldName='',        # noqa: F821
-                 fixed=OFF, localCsys=None, name='BC-6',        # noqa: F821
-                 region=ra.sets['TopNodesSet'], u1=UNSET,       # noqa: F821
-                 u2=strain, ur3=UNSET)                          # noqa: F821
+if not y_periodicity:
+    # 'attach' top/bottom nodes to the plates (abaqus_script.py:675-690)
+    m.DisplacementBC(amplitude=UNSET, createStepName='Initial',  # noqa: F821
+                     distributionType=UNIFORM, fieldName='',     # noqa: F821
+                     localCsys=None, name='BC-4',
+                     region=ra.sets['BotNodesSet'], u1=SET,      # noqa: F821
+                     u2=SET, ur3=UNSET)                          # noqa: F821
+    m.DisplacementBC(amplitude=UNSET, createStepName='Initial',  # noqa: F821
+                     distributionType=UNIFORM, fieldName='',     # noqa: F821
+                     localCsys=None, name='BC-5',
+                     region=ra.sets['TopNodesSet'], u1=SET,      # noqa: F821
+                     u2=UNSET, ur3=UNSET)                        # noqa: F821
+    m.DisplacementBC(amplitude='Amp-1', createStepName='Step-1',
+                     distributionType=UNIFORM, fieldName='',     # noqa: F821
+                     fixed=OFF, localCsys=None, name='BC-6',     # noqa: F821
+                     region=ra.sets['TopNodesSet'], u1=UNSET,    # noqa: F821
+                     u2=strain, ur3=UNSET)                       # noqa: F821
+    flag_RBM_x = True
+    flag_RBM_y = True
+else:
+    # periodic y ties replace the node-plate attachment; rigid-body modes
+    # get pinned on the first node pairs (abaqus_script.py:631-653,700-715)
+    flag_RBM_x = False
+    flag_RBM_y = False
 
-# lateral periodic BCs: equate u of (0, y) and (1, y) node pairs
-# (abaqus_script.py:692-751)
+# periodic BCs via node-pair equations (abaqus_script.py:692-751)
 periodic_bc_flag = False
 delta = 1.e-3
 for idx, node in enumerate(allNodes):
@@ -414,12 +421,72 @@ for idx, node in enumerate(allNodes):
             continue
         ra.Set(name='BC_lr_%dA' % idx, nodes=left)
         ra.Set(name='BC_lr_%dB' % idx, nodes=right)
-        m.Equation(name='Constraint-%d_lr_x' % idx,
-                   terms=((1.0, 'BC_lr_%dA' % idx, 1),
-                          (-1.0, 'BC_lr_%dB' % idx, 1)))
-        m.Equation(name='Constraint-%d_lr_y' % idx,
-                   terms=((1.0, 'BC_lr_%dA' % idx, 2),
-                          (-1.0, 'BC_lr_%dB' % idx, 2)))
+        if not flag_RBM_x:
+            # no plate attachment: pin the first pair in x instead of
+            # equating it (kills the x rigid-body mode)
+            m.DisplacementBC(amplitude=UNSET,                    # noqa: F821
+                             createStepName='Initial',
+                             distributionType=UNIFORM,           # noqa: F821
+                             fieldName='', localCsys=None, name='RBM_X_A',
+                             region=ra.sets['BC_lr_%dA' % idx],
+                             u1=SET, u2=UNSET, ur3=UNSET)        # noqa: F821
+            m.DisplacementBC(amplitude=UNSET,                    # noqa: F821
+                             createStepName='Initial',
+                             distributionType=UNIFORM,           # noqa: F821
+                             fieldName='', localCsys=None, name='RBM_X_B',
+                             region=ra.sets['BC_lr_%dB' % idx],
+                             u1=SET, u2=UNSET, ur3=UNSET)        # noqa: F821
+            m.Equation(name='Constraint-%d_lr_y' % idx,
+                       terms=((1.0, 'BC_lr_%dA' % idx, 2),
+                              (-1.0, 'BC_lr_%dB' % idx, 2)))
+            flag_RBM_x = True
+        else:
+            m.Equation(name='Constraint-%d_lr_x' % idx,
+                       terms=((1.0, 'BC_lr_%dA' % idx, 1),
+                              (-1.0, 'BC_lr_%dB' % idx, 1)))
+            m.Equation(name='Constraint-%d_lr_y' % idx,
+                       terms=((1.0, 'BC_lr_%dA' % idx, 2),
+                              (-1.0, 'BC_lr_%dB' % idx, 2)))
+    elif y_periodicity and np.isclose(y, 0.) and \
+            not np.isclose(x, 0.) and not np.isclose(x, 1.):
+        bottom = allNodes.getByBoundingBox(x - delta, -delta, -delta,
+                                           x + delta, delta, delta)
+        top = allNodes.getByBoundingBox(x - delta, 1. - delta, -delta,
+                                        x + delta, 1. + delta, delta)
+        if not top:
+            periodic_bc_flag = True
+            continue
+        ra.Set(name='BC_ud_%dA' % idx, nodes=bottom)
+        ra.Set(name='BC_ud_%dB' % idx, nodes=top)
+        if not flag_RBM_y:
+            # pin the first pair in y: bottom fixed, top follows the strain
+            # amplitude (abaqus_script.py:731-744)
+            m.DisplacementBC(amplitude=UNSET,                    # noqa: F821
+                             createStepName='Initial',
+                             distributionType=UNIFORM,           # noqa: F821
+                             fieldName='', localCsys=None, name='RBM_Y_A',
+                             region=ra.sets['BC_ud_%dA' % idx],
+                             u1=UNSET, u2=SET, ur3=UNSET)        # noqa: F821
+            m.DisplacementBC(amplitude='Amp-1', createStepName='Step-1',
+                             distributionType=UNIFORM,           # noqa: F821
+                             fieldName='', fixed=OFF,            # noqa: F821
+                             localCsys=None, name='RBM_Y_B',
+                             region=ra.sets['BC_ud_%dB' % idx],
+                             u1=UNSET, u2=strain, ur3=UNSET)     # noqa: F821
+            m.Equation(name='Constraint-%d_ud_x' % idx,
+                       terms=((1.0, 'BC_ud_%dA' % idx, 1),
+                              (-1.0, 'BC_ud_%dB' % idx, 1)))
+            flag_RBM_y = True
+        else:
+            m.Equation(name='Constraint-%d_ud_x' % idx,
+                       terms=((1.0, 'BC_ud_%dA' % idx, 1),
+                              (-1.0, 'BC_ud_%dB' % idx, 1)))
+            # u2 pairs couple through the moving top line
+            # (abaqus_script.py:748-751)
+            m.Equation(name='Constraint-%d_ud_y' % idx,
+                       terms=((1.0, 'BC_ud_%dA' % idx, 2),
+                              (-1.0, 'BC_ud_%dB' % idx, 2),
+                              (1.0, 'TopLineSet', 2)))
 
 # job (abaqus_script.py:753-766)
 mdb.Job(atTime=None, contactPrint=OFF, description='',          # noqa: F821
@@ -448,7 +515,11 @@ for key in step.historyRegions.keys():
         data_ae = np.array(region.historyOutputs['ALLAE'].data)
         if len(data_ae.shape) > 0:
             e_ae = data_ae[:, 1]
-            e_sd = np.array(region.historyOutputs['ALLSD'].data)[:, 1]
+            # explicit steps record no static-dissipation energy
+            if 'ALLSD' in region.historyOutputs.keys():
+                e_sd = np.array(region.historyOutputs['ALLSD'].data)[:, 1]
+            else:
+                e_sd = np.zeros_like(e_ae)
             e_ke = np.array(region.historyOutputs['ALLKE'].data)[:, 1]
             e_ie = np.array(region.historyOutputs['ALLIE'].data)[:, 1]
             for i in range(1, len(e_ae)):

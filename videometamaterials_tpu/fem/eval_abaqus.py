@@ -25,11 +25,18 @@ _LAGR_FIELDS = ("u_1", "u_2", "s_mises", "s_22", "strain_energy_dens")
 
 def abaqus_command(script_path: str | Path, samples_path: str | Path,
                    sample_index: int, store_frames: bool,
-                   pixels: int) -> str:
-    return ("abaqus cae noGUI={} -- --samples_path {} --sample_index {} "
-            "--store_frames {} --pixels {}".format(
-                script_path, samples_path, sample_index, store_frames,
-                pixels))
+                   pixels: int, **extra) -> str:
+    """Build the `abaqus cae noGUI=...` command line. Extra keyword args
+    (solver, material, y_periodicity, bounding_box, radius, splined, ...)
+    pass through as --key value flags (the reference keeps these as in-file
+    toggles, abaqus_script.py:49-59)."""
+    cmd = ("abaqus cae noGUI={} -- --samples_path {} --sample_index {} "
+           "--store_frames {} --pixels {}".format(
+               script_path, samples_path, sample_index, store_frames,
+               pixels))
+    for key, value in sorted(extra.items()):
+        cmd += " --{} {}".format(key, value)
+    return cmd
 
 
 def convert_frames_to_gifs(csv_dir: str | Path, gif_dir: str | Path,

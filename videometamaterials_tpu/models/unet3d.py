@@ -397,6 +397,11 @@ class _PreNormResidual(nn.Module):
 class TemporalAttentionBlock(nn.Module):
     """PreNorm + residual full attention over the frame axis.
 
+    The inner Attention is constructed INSIDE this module's scope (named
+    'attn') so its parameters nest under `<block>/attn/...` — the layout the
+    torch checkpoint importer targets. (Passing a pre-built module in as an
+    attribute would register it in the scope that constructed it instead.)
+
     Two execution plans sharing the same parameters:
       - fused (TPU): ONE Pallas kernel over (b, f, h*w, c) — LN, QKV, rotary,
         attention, out-proj and residual without leaving VMEM, and no layout
@@ -405,17 +410,31 @@ class TemporalAttentionBlock(nn.Module):
         the shared Attention module."""
 
     dim: int
-    attn: Attention
+    heads: int = 4
+    dim_head: int = 32
+    use_rotary: bool = True
+    cond_attention: str = "none"
+    cond_dim: int = 64
+    per_frame_cond: bool = False
+    dtype: jnp.dtype = jnp.float32
     use_fused_block: bool = False
+
+    def _make_attn(self):
+        return Attention(dim=self.dim, heads=self.heads,
+                         dim_head=self.dim_head, use_rotary=self.use_rotary,
+                         cond_attention=self.cond_attention,
+                         cond_dim=self.cond_dim,
+                         per_frame_cond=self.per_frame_cond,
+                         dtype=self.dtype, name="attn")
 
     def _fused_ok(self, focus_present_mask):
         if not self.use_fused_block or focus_present_mask is not None:
             return False
-        if self.attn.cond_attention == "cross-attention":
+        if self.cond_attention == "cross-attention":
             return False
-        if (self.attn.heads * self.attn.dim_head) % 128 != 0:
+        if (self.heads * self.dim_head) % 128 != 0:
             return False
-        if not self.attn.use_rotary:
+        if not self.use_rotary:
             return False
         try:
             platform = jax.devices()[0].platform
@@ -429,48 +448,74 @@ class TemporalAttentionBlock(nn.Module):
         b, f, h, w, c = x.shape
         gamma = self.param("norm_gamma", nn.initializers.ones, (self.dim,),
                            jnp.float32)
+        attn = self._make_attn()
         if self._fused_ok(focus_present_mask):
             x4 = x.reshape(b, f, h * w, c)
-            out = self.attn.fused_block(x4, gamma, pos_bias=pos_bias,
-                                        label_emb=label_emb)
+            out = attn.fused_block(x4, gamma, pos_bias=pos_bias,
+                                   label_emb=label_emb)
             return out.reshape(b, f, h, w, c)
         y = channel_layer_norm(x, gamma)
         y = y.transpose(0, 2, 3, 1, 4).reshape(b, h * w, f, c)
-        y = self.attn(y, pos_bias=pos_bias,
-                      focus_present_mask=focus_present_mask,
-                      label_emb=label_emb)
+        y = attn(y, pos_bias=pos_bias,
+                 focus_present_mask=focus_present_mask,
+                 label_emb=label_emb)
         y = y.reshape(b, h, w, f, c).transpose(0, 3, 1, 2, 4)
         return x + y.astype(x.dtype)
 
 
 class SpatialAttentionBlock(nn.Module):
     """PreNorm + residual full attention over pixels, frames folded:
-    (b,f,h,w,c) <-> (b, f, h*w, c). Mid-block only (vddp.py:687-689)."""
+    (b,f,h,w,c) <-> (b, f, h*w, c). Mid-block only (vddp.py:687-689).
+    Inner Attention built in-scope as 'attn' (see TemporalAttentionBlock)."""
 
     dim: int
-    attn: Attention
+    heads: int = 4
+    dim_head: int = 32
+    cond_attention: str = "none"
+    cond_dim: int = 64
+    per_frame_cond: bool = False
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, label_emb=None):
         b, f, h, w, c = x.shape
         gamma = self.param("norm_gamma", nn.initializers.ones, (self.dim,),
                            jnp.float32)
+        attn = Attention(dim=self.dim, heads=self.heads,
+                         dim_head=self.dim_head, use_rotary=False,
+                         cond_attention=self.cond_attention,
+                         cond_dim=self.cond_dim,
+                         per_frame_cond=self.per_frame_cond,
+                         dtype=self.dtype, name="attn")
         y = channel_layer_norm(x, gamma)
         y = y.reshape(b, f, h * w, c)
-        y = self.attn(y, label_emb=label_emb)
+        y = attn(y, label_emb=label_emb)
         y = y.reshape(b, f, h, w, c)
         return x + y.astype(x.dtype)
 
 
 class SpatialLinearAttentionBlock(nn.Module):
+    """PreNorm + residual linear attention; inner module built in-scope as
+    'attn' (see TemporalAttentionBlock docstring)."""
+
     dim: int
-    attn: SpatialLinearAttention
+    heads: int = 4
+    dim_head: int = 32
+    cond_attention: str = "none"
+    cond_dim: int = 64
+    per_frame_cond: bool = False
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, label_emb=None):
         gamma = self.param("norm_gamma", nn.initializers.ones, (self.dim,),
                            jnp.float32)
-        y = self.attn(channel_layer_norm(x, gamma), label_emb=label_emb)
+        attn = SpatialLinearAttention(
+            dim=self.dim, heads=self.heads, dim_head=self.dim_head,
+            cond_attention=self.cond_attention, cond_dim=self.cond_dim,
+            per_frame_cond=self.per_frame_cond, dtype=self.dtype,
+            name="attn")
+        y = attn(channel_layer_norm(x, gamma), label_emb=label_emb)
         return x + y.astype(x.dtype)
 
 
@@ -552,23 +597,18 @@ class UNet3D(nn.Module):
 
     def _temporal_attn(self, dim, name):
         return TemporalAttentionBlock(
-            dim=dim,
-            attn=Attention(dim=dim, heads=self.attn_heads,
-                           dim_head=self.attn_dim_head, use_rotary=True,
-                           cond_attention=self._cond_attention,
-                           cond_dim=self._cond_dim,
-                           per_frame_cond=self.per_frame_cond,
-                           dtype=self._dtype),
+            dim=dim, heads=self.attn_heads, dim_head=self.attn_dim_head,
+            use_rotary=True, cond_attention=self._cond_attention,
+            cond_dim=self._cond_dim, per_frame_cond=self.per_frame_cond,
+            dtype=self._dtype,
             use_fused_block=self.use_fused_temporal_block,
             name=name)
 
     def _spatial_linear_attn(self, dim, name):
         return SpatialLinearAttentionBlock(
-            dim=dim,
-            attn=SpatialLinearAttention(
-                dim=dim, heads=self.attn_heads, dim_head=32,
-                cond_attention=self._cond_attention, cond_dim=self._cond_dim,
-                per_frame_cond=self.per_frame_cond, dtype=self._dtype),
+            dim=dim, heads=self.attn_heads, dim_head=32,
+            cond_attention=self._cond_attention, cond_dim=self._cond_dim,
+            per_frame_cond=self.per_frame_cond, dtype=self._dtype,
             name=name)
 
     @nn.compact
@@ -692,12 +732,13 @@ class UNet3D(nn.Module):
         mid_dim = dims[-1]
         x = ResnetBlock(mid_dim, time_emb_dim, self.resnet_groups,
                         self.padding_mode, dtype, name="mid_block1")(x, t)
+        # NB the reference builds the mid spatial attention WITHOUT passing
+        # attn_dim_head, so it always gets the Attention default dim_head=32
+        # (vddp.py:687,400-401); mirrored here for checkpoint parity.
         x = SpatialAttentionBlock(
-            dim=mid_dim,
-            attn=Attention(dim=mid_dim, heads=self.attn_heads,
-                           dim_head=self.attn_dim_head, use_rotary=False,
-                           cond_attention=cdt, cond_dim=cond_dim,
-                           per_frame_cond=self.per_frame_cond, dtype=dtype),
+            dim=mid_dim, heads=self.attn_heads, dim_head=32,
+            cond_attention=cdt, cond_dim=cond_dim,
+            per_frame_cond=self.per_frame_cond, dtype=dtype,
             name="mid_spatial_attn")(x, label_emb=tokens)
         x = self._temporal_attn(mid_dim, "mid_temporal_attn")(
             x, pos_bias=pos_bias, focus_present_mask=focus_present_mask,

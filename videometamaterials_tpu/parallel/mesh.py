@@ -17,6 +17,7 @@ stack (SURVEY.md §2.3, §5.8):
 
 from __future__ import annotations
 
+import os
 from typing import Optional, Sequence
 
 import jax
@@ -24,15 +25,34 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def initialize_distributed(**kwargs) -> None:
+def initialize_distributed(coordinator_address: Optional[str] = None,
+                           num_processes: Optional[int] = None,
+                           process_id: Optional[int] = None,
+                           **kwargs) -> bool:
     """Multi-host bring-up (replaces dist.init_process_group, main.py:31).
-    No-op when running single-process."""
-    if jax.process_count() > 1:
-        return  # already initialized by the launcher
-    try:
-        jax.distributed.initialize(**kwargs)
-    except (ValueError, RuntimeError):
-        pass  # single-process run
+
+    Initializes the JAX distributed runtime when a multi-process context is
+    requested — either via explicit arguments or a recognized launcher
+    environment (JAX's own coordinator env, SLURM, or a Cloud TPU pod).
+    Plain single-process runs are a no-op. Errors during a REQUESTED
+    initialization propagate: a half-initialized multi-host job must fail
+    loudly rather than silently degrade to one process.
+
+    Returns True iff the distributed runtime was initialized."""
+    explicit = any(v is not None
+                   for v in (coordinator_address, num_processes, process_id))
+    auto = any(k in os.environ for k in (
+        "JAX_COORDINATOR_ADDRESS",        # jax's generic launcher contract
+        "COORDINATOR_ADDRESS",
+        "SLURM_JOB_NUM_NODES",            # cluster schedulers jax can parse
+        "TPU_WORKER_HOSTNAMES",           # Cloud TPU pod metadata
+    ))
+    if not (explicit or auto):
+        return False
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id, **kwargs)
+    return True
 
 
 def make_mesh(devices: Optional[Sequence[jax.Device]] = None,

@@ -285,6 +285,7 @@ class Trainer:
             self._log({"step": pending_step,
                        "training loss": float(pending_loss)})
         self.save(step=tcfg.train_num_steps)
+        ckpt.wait_for_saves()     # join async orbax writes before returning
         print("training completed")
 
     # ------------------------------------------------------------ validation
@@ -419,8 +420,10 @@ class Trainer:
         })
         aux = {"labels_scaling": self.ds.labels_scaling.to_dict(),
                "step": step}
-        path = ckpt.save_checkpoint(self.results_folder, step, payload, aux,
-                                    backend=self.tcfg.checkpoint_backend)
+        path = ckpt.save_checkpoint(
+            self.results_folder, step, payload, aux,
+            backend=self.tcfg.checkpoint_backend,
+            keep_last=self.tcfg.keep_last_checkpoints)
         print(f"checkpoint saved to {path}")
 
     def load_torch_checkpoint(self, path: str | Path, which: str = "both"):
@@ -458,7 +461,7 @@ class Trainer:
             "ema_params": self.state.ema_params,
         })
         payload, aux = ckpt.load_checkpoint(self.results_folder, step,
-                                            template)
+                                            template, strict=strict)
         state = TrainState(
             step=jnp.asarray(payload["step"], jnp.int32),
             params=payload["params"],
