@@ -119,3 +119,42 @@ def test_horizontal_flip_augmentation(synth):
         elif np.allclose(v[0], v_ref[0][:, :, ::-1, :]):
             seen_flip = True
     assert seen_flip and seen_plain
+
+
+def test_gif_to_array_nonuniform_merged_frames(tmp_path):
+    """GIF encoders merge identical consecutive frames into one frame with an
+    extended duration; inversion must reproduce the true sequence even when
+    the merges are UNEVEN (vddp.py:1077-1104 round-trip contract)."""
+    from PIL import Image
+
+    from videometamaterials_tpu.data.gif_io import gif_to_array
+
+    a = np.full((8, 8), 10, np.uint8)
+    b = np.full((8, 8), 120, np.uint8)
+    c = np.full((8, 8), 240, np.uint8)
+    imgs = [Image.fromarray(f, mode="L").convert("P") for f in (a, b, c)]
+    path = tmp_path / "merged.gif"
+    # true sequence: A A A B C C  (base unit 100 ms)
+    imgs[0].save(path, save_all=True, append_images=imgs[1:],
+                 duration=[300, 100, 200], loop=0, optimize=False)
+
+    out = gif_to_array(path, expected_frames=6)
+    assert out.shape == (6, 8, 8)
+    seq = [int(f.mean() > 170) * 2 or int(f.mean() > 60) for f in out]
+    assert seq == [0, 0, 0, 1, 2, 2]
+
+
+def test_gif_to_array_rounding_never_drifts(tmp_path):
+    """Cumulative rounding: totals match expected_frames exactly for awkward
+    duration ratios (the old per-frame round + tail patch mis-expanded)."""
+    from PIL import Image
+
+    from videometamaterials_tpu.data.gif_io import gif_to_array
+
+    frames = [np.full((4, 4), v, np.uint8) for v in (0, 60, 120, 180, 240)]
+    imgs = [Image.fromarray(f, mode="L").convert("P") for f in frames]
+    path = tmp_path / "awkward.gif"
+    imgs[0].save(path, save_all=True, append_images=imgs[1:],
+                 duration=[250, 250, 300, 150, 50], loop=0, optimize=False)
+    out = gif_to_array(path, expected_frames=10)
+    assert out.shape[0] == 10

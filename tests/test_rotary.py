@@ -47,3 +47,26 @@ def test_rotary_partial_rotation_passthrough():
     y = np.asarray(apply_rotary(x, freqs))
     np.testing.assert_array_equal(y[..., 8:], x[..., 8:])
     assert not np.allclose(y[..., :8][..., 2:], x[..., :8][..., 2:])
+
+
+def test_rotary_head_matrices_match_apply():
+    """Folding rotary into a per-position matrix (for weight-fused QKV) must
+    equal the direct interleaved rotation, incl. partial rotation."""
+    import jax.numpy as jnp
+
+    from videometamaterials_tpu.ops.rotary import (
+        apply_rotary_heads,
+        rotary_frequencies,
+        rotary_head_matrices,
+    )
+
+    for dh, rot in ((8, 8), (12, 8)):
+        freqs = rotary_frequencies(7, rot)
+        a = rotary_head_matrices(freqs, dh)          # (7, dh, dh)
+        rng = np.random.default_rng(0)
+        x = rng.normal(size=(3, 7, 2 * dh)).astype(np.float32)  # heads=2
+        want = np.asarray(apply_rotary_heads(jnp.asarray(x),
+                                             jnp.asarray(freqs), 2))
+        xh = x.reshape(3, 7, 2, dh)
+        got = np.einsum("bfhd,fde->bfhe", xh, a).reshape(3, 7, 2 * dh)
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)

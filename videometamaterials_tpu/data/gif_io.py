@@ -63,12 +63,14 @@ def gif_to_array(path: str | Path, image_size: int | None = None,
         total = sum(durations)
         if total <= 0:
             reps = [expected_frames // len(frames)] * len(frames)
+            reps[-1] += expected_frames - sum(reps)
         else:
-            reps = [max(1, round(d * expected_frames / total))
-                    for d in durations]
-        # fix rounding drift on the last frame
-        drift = expected_frames - sum(reps)
-        reps[-1] = max(1, reps[-1] + drift)
+            # exact proportional expansion via cumulative rounding: rounding
+            # error stays within +-0.5 frame at every boundary and the total
+            # always equals expected_frames (no drift dumped on the tail)
+            edges = np.round(np.cumsum(durations)
+                             * expected_frames / total).astype(int)
+            reps = np.diff(np.concatenate([[0], edges])).tolist()
         frames = [f for f, r in zip(frames, reps) for _ in range(r)]
     return np.stack(frames, axis=0)
 

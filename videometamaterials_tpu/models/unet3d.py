@@ -30,6 +30,7 @@ import numpy as np
 from flax import linen as nn
 
 from videometamaterials_tpu.ops.attention import (
+    NEG_INF as _NEG_INF,
     linear_attention_tokens_first,
     stacked_softmax_attention,
 )
@@ -43,6 +44,7 @@ from videometamaterials_tpu.ops.rotary import (
     apply_rotary,
     apply_rotary_heads,
     rotary_frequencies,
+    rotary_head_matrices,
 )
 from videometamaterials_tpu.models.embeddings import (
     RelativePositionBias,
@@ -133,23 +135,6 @@ class Attention(nn.Module):
     cond_dim: int = 64
     per_frame_cond: bool = False
     dtype: jnp.dtype = jnp.float32
-    # Pallas fused path measured slightly slower than the XLA VPU
-    # formulation on v5e (316 vs 279 ms/forward, tiny in-kernel dots get
-    # serialized); keep it opt-in until the kernel is re-tuned.
-    use_fused: bool = False
-
-    def _fused_eligible(self, n, m, hidden, focus_present_mask):
-        """Pallas fused path: TPU backend, small token counts, lane-aligned
-        hidden, and no focus masking (training-only option, falls back)."""
-        if not self.use_fused or focus_present_mask is not None:
-            return False
-        if n > 32 or m > 64 or hidden % 128 != 0:
-            return False
-        try:
-            platform = jax.devices()[0].platform
-        except RuntimeError:
-            return False
-        return platform in ("tpu", "axon")
 
     def setup(self):
         """Raw projection kernels (Linear without bias): shared verbatim by
@@ -250,23 +235,125 @@ class Attention(nn.Module):
             k = jnp.concatenate([ek, k], axis=-2)
             v = jnp.concatenate([ev, v], axis=-2)
 
-        m = k.shape[-2]
-        if self._fused_eligible(n, m, hidden, focus_present_mask):
-            from videometamaterials_tpu.ops.pallas import fused_small_attention
-            bias = self._build_bias(pos_bias, n, m, cond_used)
-            out = fused_small_attention(q, k, v, bias, heads=self.heads,
-                                        scale=scale)
-        else:
-            qh, kh, vh = split_heads(q), split_heads(k), split_heads(v)
-            out = stacked_softmax_attention(
-                qh, kh, vh, scale=scale, num_video_tokens=n,
-                pos_bias=pos_bias,
-                pos_bias_on_cond=(self.per_frame_cond and cond_used),
-                focus_present_mask=(focus_present_mask
-                                    if not cond_used else None),
-            )
-            out = out.transpose(0, 1, 3, 2, 4).reshape(b, s, n, hidden)
+        qh, kh, vh = split_heads(q), split_heads(k), split_heads(v)
+        out = stacked_softmax_attention(
+            qh, kh, vh, scale=scale, num_video_tokens=n,
+            pos_bias=pos_bias,
+            pos_bias_on_cond=(self.per_frame_cond and cond_used),
+            focus_present_mask=(focus_present_mask
+                                if not cond_used else None),
+        )
+        out = out.transpose(0, 1, 3, 2, 4).reshape(b, s, n, hidden)
         return conv1x1(out, self.to_out_kernel)
+
+    def temporal_xla(self, x_bfsc, norm_gamma, pos_bias=None,
+                     focus_present_mask=None, label_emb=None):
+        """Whole temporal attention block (LN + QKV + rotary + attention +
+        out-proj + residual) in frames-major (b, f, s, c) layout, optimized
+        for HBM traffic on TPU — same math as __call__, verified against the
+        reference torch model (tests/test_reference_parity.py):
+
+          - NO layout transposes: scores/values contract via broadcast
+            multiply-reduce over the folded spatial axis (VPU; the (11,32)
+            per-position matmuls would run the MXU at <1% utilization);
+          - rotary (and the q scale) fold into per-frame QKV weights
+            (ops/rotary.py:rotary_head_matrices) — removes the separate
+            rotary passes over Q and K;
+          - conditioning K/V tokens are shared across spatial positions and
+            enter the score/value reductions by broadcast — never
+            materialized at (b, s, tokens, hidden) like the generic path's
+            stacked concat (vddp.py:473-474 semantics, zero extra traffic).
+
+        Supports cond_attention in ('none', 'self-stacked'); the wrapper
+        falls back to the generic path for cross-attention."""
+        b, f, s, c_in = x_bfsc.shape
+        heads, dh = self.heads, self.dim_head
+        hidden = heads * dh
+        scale = dh ** -0.5
+        y = channel_layer_norm(x_bfsc, norm_gamma).astype(self.dtype)
+
+        w_q, w_k, w_v = jnp.split(self.to_qkv_kernel, 3, axis=-1)
+        freqs = None
+        if self.use_rotary:
+            freqs_np = rotary_frequencies(f, min(32, dh))
+            freqs = jnp.asarray(freqs_np)
+            rot = jnp.asarray(rotary_head_matrices(freqs_np, dh))  # (f,d,d)
+            # reference rotates AFTER scaling q (vddp.py:492-496); both are
+            # linear so scale folds into the rotated q weights
+            w_qf = jnp.einsum("chd,fde->fche", w_q.reshape(c_in, heads, dh),
+                              rot * scale).reshape(f, c_in, hidden)
+            w_kf = jnp.einsum("chd,fde->fche", w_k.reshape(c_in, heads, dh),
+                              rot).reshape(f, c_in, hidden)
+            q = jnp.einsum("bfsc,fch->bfsh", y, w_qf.astype(self.dtype))
+            k = jnp.einsum("bfsc,fch->bfsh", y, w_kf.astype(self.dtype))
+        else:
+            q = conv1x1(y, w_q * scale)
+            k = conv1x1(y, w_k)
+        v = conv1x1(y, w_v)
+        q = q.reshape(b, f, s, heads, dh)
+        k = k.reshape(b, f, s, heads, dh)
+        v = v.reshape(b, f, s, heads, dh)
+
+        cond_used = self.cond_attention == "self-stacked" \
+            and label_emb is not None
+        t_tok = 0
+        if cond_used:
+            ek, ev = self._cond_kv(label_emb)           # (b, T, hidden)
+            if self.use_rotary and self.per_frame_cond:
+                ek = apply_rotary_heads(ek, freqs, heads)  # (vddp.py:470-471)
+            t_tok = ek.shape[1]
+            # q already carries the 1/sqrt(d) scale (folded into its
+            # weights), so ek must not be scaled again
+            ek = ek.reshape(b, t_tok, heads, dh).astype(jnp.float32)
+            ev = ev.reshape(b, t_tok, heads, dh).astype(jnp.float32)
+
+        # scores (b, i, j, s, heads): broadcast-multiply-reduce over d keeps
+        # the huge folded axis vectorized and lets XLA fuse the reduction
+        # q (b,i,1,s,H,d) * k (b,1,j,s,H,d) -> sum d -> (b,i,j,s,H)
+        sim_v = jnp.sum(
+            (q[:, :, None] * k[:, None]).astype(jnp.float32), axis=-1)
+        if cond_used:
+            # cond keys broadcast over s inside the fused reduce — never
+            # materialized per spatial position
+            sim_c = jnp.sum(
+                q.astype(jnp.float32)[:, :, None]
+                * ek[:, None, :, None], axis=-1)       # (b,i,T,s,H)
+            sim = jnp.concatenate([sim_c, sim_v], axis=2)  # cond in FRONT
+        else:
+            sim = sim_v
+
+        if pos_bias is not None:
+            m = sim.shape[2]
+            bias = pos_bias.astype(jnp.float32)        # (H, n, n)
+            bias = bias.transpose(1, 2, 0)[None, :, :, None, :]  # (1,i,j,1,H)
+            full = jnp.pad(bias, ((0, 0), (0, 0), (m - f, 0), (0, 0), (0, 0)))
+            if self.per_frame_cond and cond_used and m != f:
+                full = full + jnp.pad(
+                    bias, ((0, 0), (0, 0), (0, m - f), (0, 0), (0, 0)))
+            sim = sim + full
+
+        if focus_present_mask is not None and not cond_used:
+            eye = jnp.eye(f, dtype=bool)[None, :, :, None, None]
+            allow = jnp.where(
+                focus_present_mask[:, None, None, None, None], eye, True)
+            sim = jnp.where(allow, sim, _NEG_INF)
+
+        sim = sim - jnp.max(sim, axis=2, keepdims=True)
+        attn = jnp.exp(sim)
+        attn = attn / jnp.sum(attn, axis=2, keepdims=True)
+
+        if cond_used:
+            attn_c, attn_v = attn[:, :, :t_tok], attn[:, :, t_tok:]
+            out = jnp.sum(attn_v[..., None] * v[:, None].astype(jnp.float32),
+                          axis=2)
+            out = out + jnp.sum(attn_c[..., None] * ev[:, None, :, None],
+                                axis=2)
+        else:
+            out = jnp.sum(attn[..., None] * v[:, None].astype(jnp.float32),
+                          axis=2)
+        out = out.astype(self.dtype).reshape(b, f, s, hidden)
+        out = conv1x1(out, self.to_out_kernel)
+        return x_bfsc + out.astype(x_bfsc.dtype)
 
     def fused_block(self, x_bfsc, norm_gamma, pos_bias=None, label_emb=None):
         """Whole temporal attention block (LN + QKV + rotary + attention +
@@ -454,6 +541,15 @@ class TemporalAttentionBlock(nn.Module):
             out = attn.fused_block(x4, gamma, pos_bias=pos_bias,
                                    label_emb=label_emb)
             return out.reshape(b, f, h, w, c)
+        if self.cond_attention in ("none", "self-stacked"):
+            # optimized frames-major path: no transposes, rotary folded
+            # into weights, cond K/V never materialized per position
+            x4 = x.reshape(b, f, h * w, c)
+            out = attn.temporal_xla(x4, gamma, pos_bias=pos_bias,
+                                    focus_present_mask=focus_present_mask,
+                                    label_emb=label_emb)
+            return out.reshape(b, f, h, w, c)
+        # generic fallback (cross-attention ablation)
         y = channel_layer_norm(x, gamma)
         y = y.transpose(0, 2, 3, 1, 4).reshape(b, h * w, f, c)
         y = attn(y, pos_bias=pos_bias,

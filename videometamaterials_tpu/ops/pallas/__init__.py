@@ -1,3 +1,3 @@
-from videometamaterials_tpu.ops.pallas.fused_attention import (  # noqa: F401
-    fused_small_attention,
+from videometamaterials_tpu.ops.pallas.fused_block import (  # noqa: F401
+    fused_temporal_block,
 )

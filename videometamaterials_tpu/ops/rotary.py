@@ -49,6 +49,31 @@ def apply_rotary_heads(x: jnp.ndarray, freqs: jnp.ndarray,
     return out.reshape(*lead, n, hd)
 
 
+def rotary_head_matrices(freqs: np.ndarray, dim_head: int) -> np.ndarray:
+    """Per-position rotary as a (seq, d, d) matrix acting on row vectors:
+    q_rotated[f] == q[f] @ A[f] for every head's d-block.
+
+    Folding these into the QKV projection weights (W_q @ A[f] per frame)
+    removes the separate rotary passes over Q and K from the HBM traffic —
+    the same trick the fused Pallas kernel uses, here for the XLA path.
+    Features beyond freqs' rot_dim pass through (identity block)."""
+    seq, rot = freqs.shape
+    cos = np.cos(freqs).astype(np.float32)     # (seq, rot)
+    sin = np.sin(freqs).astype(np.float32)
+    a = np.zeros((seq, dim_head, dim_head), np.float32)
+    idx = np.arange(rot)
+    a[:, idx, idx] = cos
+    even = np.arange(0, rot, 2)
+    odd = even + 1
+    # rot_half: out_j gets -q_{j+1} (j even) and +q_{j-1} (j odd)
+    a[:, odd, even] = -sin[:, even]
+    a[:, even, odd] = sin[:, odd]
+    if rot < dim_head:
+        tail = np.arange(rot, dim_head)
+        a[:, tail, tail] = 1.0
+    return a
+
+
 def apply_rotary(x: jnp.ndarray, freqs: jnp.ndarray) -> jnp.ndarray:
     """Rotate the leading freqs.shape[-1] features of x over its second-to-last
     (sequence) axis. x: (..., seq, features); freqs: (seq, rot_dim)."""
