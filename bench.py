@@ -25,7 +25,10 @@ except Exception:
     pass
 
 BASELINE_VIDEOS_PER_MIN = 4.0   # README.md:53 (RTX 6000)
-BATCH = 4
+# The metric is videos/min/CHIP: batching 8 conditions per sampler call
+# amortizes weight streaming and dispatch across the batch (measured best
+# point of the batch sweep, scripts/bench_sweep.py; 16 was slower).
+BATCH = 8
 GUIDANCE = 5.0
 
 

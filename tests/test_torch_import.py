@@ -70,6 +70,18 @@ def test_import_roundtrip_places_every_leaf():
         state["module.denoise_fn." + torch_key] = arr
         expected[path] = transform(arr)
 
+    # the map's load-bearing destinations must EXIST in the template — a
+    # missing path means leaf placement silently no-ops (the round-1 flax
+    # scoping bug hid exactly this way; see tests/test_reference_parity.py)
+    for path in [("init_temporal_attn", "attn", "to_qkv_kernel"),
+                 ("init_temporal_attn", "attn", "to_out_kernel"),
+                 ("down_0_temporal_attn", "attn", "to_k_kernel"),
+                 ("down_0_spatial_attn", "attn", "to_qkv", "kernel"),
+                 ("down_0_spatial_attn", "attn", "to_out_kernel"),
+                 ("mid_spatial_attn", "attn", "to_v_kernel"),
+                 ("up_1_temporal_attn", "attn", "to_qkv_kernel")]:
+        assert _flax_leaf(params, path) is not None, path
+
     imported = import_state_dict(state, params, num_resolutions=2)
     n_checked = 0
     for path, want in expected.items():

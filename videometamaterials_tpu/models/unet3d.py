@@ -284,12 +284,15 @@ class Attention(nn.Module):
                               rot * scale).reshape(f, c_in, hidden)
             w_kf = jnp.einsum("chd,fde->fche", w_k.reshape(c_in, heads, dh),
                               rot).reshape(f, c_in, hidden)
-            q = jnp.einsum("bfsc,fch->bfsh", y, w_qf.astype(self.dtype))
-            k = jnp.einsum("bfsc,fch->bfsh", y, w_kf.astype(self.dtype))
+            w_vf = jnp.broadcast_to(w_v[None], (f, c_in, hidden))
         else:
-            q = conv1x1(y, w_q * scale)
-            k = conv1x1(y, w_k)
-        v = conv1x1(y, w_v)
+            w_qf = jnp.broadcast_to((w_q * scale)[None], (f, c_in, hidden))
+            w_kf = jnp.broadcast_to(w_k[None], (f, c_in, hidden))
+            w_vf = jnp.broadcast_to(w_v[None], (f, c_in, hidden))
+        # ONE projection pass: y is read once, not three times
+        w_all = jnp.concatenate([w_qf, w_kf, w_vf], axis=-1)  # (f,c,3*hidden)
+        qkv = jnp.einsum("bfsc,fch->bfsh", y, w_all.astype(self.dtype))
+        q, k, v = jnp.split(qkv, 3, axis=-1)
         q = q.reshape(b, f, s, heads, dh)
         k = k.reshape(b, f, s, heads, dh)
         v = v.reshape(b, f, s, heads, dh)
