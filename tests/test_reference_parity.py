@@ -171,3 +171,35 @@ def test_p_mean_variance_parity(pair):
     np.testing.assert_allclose(r_logvar.numpy().reshape(-1),
                                np.asarray(g_logvar).reshape(-1),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_gru_signal_embedding_parity(vddp):
+    """Ablation GRU conditioning encoder: torch nn.GRU weights map exactly
+    onto the flax GRUCell stack (vddp.py:547,563-572)."""
+    import jax
+    import jax.numpy as jnp
+
+    from videometamaterials_tpu.models.embeddings import SignalEmbedding
+    from videometamaterials_tpu.training.torch_import import import_state_dict
+
+    hidden = 24
+    torch.manual_seed(0)
+    t_mod = vddp.SignalEmbedding(
+        "GRU", init_channel=1,
+        channel_upsamplings=[16, 32, 64, 128, hidden]).eval()
+
+    j_mod = SignalEmbedding("GRU", init_channel=1,
+                            channel_upsamplings=(16, 32, 64, 128, hidden))
+    x = np.random.RandomState(0).uniform(-1, 1, (2, 51)).astype(np.float32)
+    inner = j_mod.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    template = {"params": {"sign_emb_GRU": inner["params"]}}
+    state = {"sign_emb_GRU." + k: v.detach().numpy()
+             for k, v in t_mod.state_dict().items()}
+    merged = import_state_dict(state, template, num_resolutions=2,
+                               strict=True)
+
+    with torch.no_grad():
+        want = t_mod(torch.from_numpy(x)).numpy()
+    got = j_mod.apply({"params": merged["params"]["sign_emb_GRU"]},
+                      jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-5, rtol=1e-4)

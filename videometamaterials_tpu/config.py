@@ -64,9 +64,9 @@ class ModelConfig:
     sample_scan_chunk: int | None = 64        # sampler scan segment length
                                               # (None = one fused scan)
     dynamic_thres_method: str = "bisect"      # 'bisect' | 'sort' (torch-exact)
-    use_fused_temporal_block: bool = False    # Pallas fused temporal attention
-                                              # block on TPU (one kernel per
-                                              # block; see ops/pallas)
+    use_fused_temporal_block: bool | str = False  # Pallas fused temporal
+                                              # attention block on TPU:
+                                              # False | 'level0' | 'all'/True
 
     @property
     def channels(self) -> int:

@@ -84,7 +84,10 @@ class SignalEmbedding(nn.Module):
             h = x[..., None].astype(jnp.float32)
             hidden = self.channel_upsamplings[-1]
             for layer in range(3):
-                h = nn.RNN(nn.GRUCell(features=hidden),
+                # cell named explicitly so its params nest deterministically
+                # (torch_import maps nn.GRU weight_ih/hh_l{k} onto them)
+                h = nn.RNN(nn.GRUCell(features=hidden,
+                                      name=f"gru_cell_{layer}"),
                            name=f"gru_l{layer}")(h)
             return h.astype(self.dtype)
         else:

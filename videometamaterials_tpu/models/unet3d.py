@@ -669,10 +669,21 @@ class UNet3D(nn.Module):
     per_frame_cond: bool = False
     padding_mode: str = "zeros"
     compute_dtype: str = "bfloat16"
-    # fuse each temporal attention block into one Pallas kernel on TPU.
-    # Compiles+runs on v5e; opt-in for now because the Mosaic compile of the
-    # kernel is ~15 min per shape through the remote-compile service.
-    use_fused_temporal_block: bool = False
+    # Fuse temporal attention blocks into one Pallas kernel on TPU:
+    # False | True/'all' (every level) | 'level0' (only the full-resolution
+    # blocks, which dominate HBM traffic — and the fewest Mosaic shapes to
+    # compile, which matters where kernel compiles are slow/flaky).
+    use_fused_temporal_block: bool | str = False
+
+    def _fused_flag_for(self, dim):
+        flag = self.use_fused_temporal_block
+        if isinstance(flag, str):
+            if flag == "all":
+                return True
+            if flag == "level0":
+                return dim == (self.init_dim or self.dim)
+            return False
+        return bool(flag)
 
     @property
     def _dtype(self):
@@ -700,7 +711,7 @@ class UNet3D(nn.Module):
             use_rotary=True, cond_attention=self._cond_attention,
             cond_dim=self._cond_dim, per_frame_cond=self.per_frame_cond,
             dtype=self._dtype,
-            use_fused_block=self.use_fused_temporal_block,
+            use_fused_block=self._fused_flag_for(dim),
             name=name)
 
     def _spatial_linear_attn(self, dim, name):

@@ -202,6 +202,51 @@ def _strip_prefix(key: str) -> str:
     return key
 
 
+def _expand_gru_keys(state: dict) -> dict:
+    """Rewrite torch nn.GRU parameters (sign_emb_GRU.emb_model.weight_ih_l{k}
+    etc., gate order r|z|n stacked along dim 0) into per-gate flax GRUCell
+    leaves. Exact correspondence:
+
+        flax ir/iz/in kernel = W_i{r,z,n}^T     flax h* kernel = W_h*^T
+        flax ir/iz bias      = b_i* + b_h*      (flax hr/hz have no bias)
+        flax in bias         = b_in             flax hn bias = b_hn
+
+    (torch: n = tanh(W_in x + b_in + r*(W_hn h + b_hn)); flax GRUCell is the
+    same formula with the i/h biases fused for r and z.)"""
+    out = dict(state)
+    for layer in range(8):
+        wih = out.pop(f"sign_emb_GRU.emb_model.weight_ih_l{layer}", None)
+        if wih is None:
+            continue
+        whh = out.pop(f"sign_emb_GRU.emb_model.weight_hh_l{layer}")
+        bih = out.pop(f"sign_emb_GRU.emb_model.bias_ih_l{layer}")
+        bhh = out.pop(f"sign_emb_GRU.emb_model.bias_hh_l{layer}")
+        h = whh.shape[1]
+        cell = f"sign_emb_GRU.__gru_cell_{layer}"
+        for gi, gate in enumerate(("r", "z", "n")):
+            sl = slice(gi * h, (gi + 1) * h)
+            out[f"{cell}.i{gate}.kernel"] = np.ascontiguousarray(wih[sl].T)
+            out[f"{cell}.h{gate}.kernel"] = np.ascontiguousarray(whh[sl].T)
+        out[f"{cell}.ir.bias"] = bih[0:h] + bhh[0:h]
+        out[f"{cell}.iz.bias"] = bih[h:2 * h] + bhh[h:2 * h]
+        out[f"{cell}.in.bias"] = bih[2 * h:3 * h]
+        out[f"{cell}.hn.bias"] = bhh[2 * h:3 * h]
+    return out
+
+
+def _gru_key_map() -> dict:
+    m = {}
+    for layer in range(8):
+        cell = f"sign_emb_GRU.__gru_cell_{layer}"
+        flax_cell = ("sign_emb_GRU", f"gru_cell_{layer}")
+        for gate in ("ir", "iz", "in", "hr", "hz", "hn"):
+            m[f"{cell}.{gate}.kernel"] = (
+                flax_cell + (gate, "kernel"), _t_id)
+        for gate in ("ir", "iz", "in", "hn"):
+            m[f"{cell}.{gate}.bias"] = (flax_cell + (gate, "bias"), _t_id)
+    return m
+
+
 def import_state_dict(state: dict, params_template: dict,
                       num_resolutions: int = 4,
                       strict: bool = True) -> dict:
@@ -210,6 +255,9 @@ def import_state_dict(state: dict, params_template: dict,
     import jax
 
     key_map = build_key_map(num_resolutions)
+    key_map.update(_gru_key_map())
+    state = _expand_gru_keys(
+        {_strip_prefix(k): v for k, v in state.items()})
     out = jax.tree.map(np.asarray, params_template)
 
     def set_path(tree, path, value):
