@@ -203,3 +203,60 @@ def test_gru_signal_embedding_parity(vddp):
     got = j_mod.apply({"params": merged["params"]["sign_emb_GRU"]},
                       jnp.asarray(x))
     np.testing.assert_allclose(np.asarray(got), want, atol=1e-5, rtol=1e-4)
+
+
+def test_ddim_trajectory_parity(pair, monkeypatch):
+    """Full multi-step DDIM chain (eta=0 -> deterministic given x_T) against
+    the reference ddim_sample (vddp.py:986-1018): timestep pairing,
+    predict_start, alpha coefficients and the final-step continue branch."""
+    import jax
+    import jax.numpy as jnp
+
+    from videometamaterials_tpu.diffusion import GaussianDiffusion
+    from videometamaterials_tpu.diffusion.gaussian import unnormalize_img
+
+    (t_unet, _), (j_unet, _, params) = pair
+    sampling = 4
+    t_diff = type(pair[0][1])(
+        t_unet, image_size=IMG, num_frames=FRAMES, channels=CHANNELS,
+        timesteps=TIMESTEPS, loss_type="l1", use_dynamic_thres=True,
+        sampling_timesteps=sampling).eval()
+    j_diff = GaussianDiffusion(
+        model=j_unet, image_size=IMG, num_frames=FRAMES, channels=CHANNELS,
+        timesteps=TIMESTEPS, loss_type="l1", use_dynamic_thres=True,
+        dynamic_thres_method="sort", sampling_timesteps=sampling)
+    assert t_diff.is_ddim_sampling and j_diff.is_ddim_sampling
+
+    rng_np = np.random.RandomState(7)
+    shape = (2, CHANNELS, FRAMES, IMG, IMG)
+    x_t = rng_np.standard_normal(shape).astype(np.float32)
+    cond = rng_np.uniform(-1, 1, (2, FRAMES)).astype(np.float32)
+
+    # inject x_T into the reference sampler (it draws it internally)
+    fixed = torch.from_numpy(x_t)
+    orig_randn = torch.randn
+
+    def fake_randn(*args, **kwargs):
+        size = args[0] if isinstance(args[0], (tuple, torch.Size)) else args
+        if tuple(size) == shape:
+            return fixed.clone().to(**{k: v for k, v in kwargs.items()
+                                       if k in ("device", "dtype")})
+        return orig_randn(*args, **kwargs)
+
+    monkeypatch.setattr(torch, "randn", fake_randn)
+    with torch.inference_mode():
+        want = t_diff.ddim_sample(shape, cond=torch.from_numpy(cond),
+                                  guidance_scale=5.0).numpy()
+
+    total, steps = TIMESTEPS, sampling
+    times = list(reversed(np.linspace(-1, total - 1, num=steps + 1)
+                          .astype(np.int64).tolist()))
+    pairs_np = np.asarray(list(zip(times[:-1], times[1:])), dtype=np.int32)
+    img, _ = j_diff._ddim_scan(
+        params, jnp.asarray(_to_jax_video(x_t)), jax.random.PRNGKey(0),
+        jnp.asarray(pairs_np), jnp.asarray(cond), 5.0)
+    got = unnormalize_img(img)
+    # untrained net + CFG w=5 amplifies values to ~1e3 over the chain;
+    # agreement is ~1.5e-4 relative (fp32 accumulation over 4 steps)
+    np.testing.assert_allclose(_to_jax_video(want), np.asarray(got),
+                               atol=0.2, rtol=2e-3)
