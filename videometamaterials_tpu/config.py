@@ -67,6 +67,8 @@ class ModelConfig:
     use_fused_temporal_block: bool | str = False  # Pallas fused temporal
                                               # attention block on TPU:
                                               # False | 'level0' | 'all'/True
+    use_fused_linear_block: bool | str = False  # same tri-state for the
+                                              # spatial linear-attention blocks
 
     @property
     def channels(self) -> int:

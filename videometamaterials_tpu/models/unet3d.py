@@ -60,6 +60,19 @@ def _dense(features, name, use_bias=True, dtype=jnp.float32):
                     param_dtype=jnp.float32, name=name)
 
 
+class _RawKernel(nn.Module):
+    """Parameter-compatible stand-in for nn.Dense(use_bias=False): creates
+    `<name>/kernel` at the exact same tree path and returns the raw weight,
+    for fused Pallas paths that consume the matrix directly. Keeps the torch
+    checkpoint importer's name map valid across fused/unfused plans."""
+
+    shape: tuple
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", _KERNEL_INIT, self.shape, jnp.float32)
+
+
 class Block(nn.Module):
     """Conv(1,3,3) + GroupNorm + optional FiLM + SiLU (vddp.py:267-285)."""
 
@@ -397,7 +410,14 @@ class Attention(nn.Module):
 
 class SpatialLinearAttention(nn.Module):
     """Linear attention over pixels per frame (vddp.py:313-378). Input:
-    (b, f, h, w, c); frames fold into batch."""
+    (b, f, h, w, c); frames fold into batch.
+
+    Two execution plans sharing the same parameters:
+      - default XLA path (this __call__ body, attention math in
+        ops/attention.py:linear_attention_tokens_first);
+      - fused (TPU): pass `norm_gamma` — ONE Pallas kernel computes the whole
+        residual block (LN + QKV + both softmaxes + context + out-proj +
+        residual) without leaving VMEM (ops/pallas/fused_linear_block.py)."""
 
     dim: int
     heads: int = 4
@@ -407,11 +427,57 @@ class SpatialLinearAttention(nn.Module):
     per_frame_cond: bool = False
     dtype: jnp.dtype = jnp.float32
 
+    def _fused_cond_kv(self, label_emb, b, f, hidden):
+        """Projected conditioning K/V aligned to the folded frame axis:
+        (b*f, Mc, hidden), per-frame -> one token per frame
+        (vddp.py:343-346), else broadcast across frames."""
+        kk = _RawKernel((label_emb.shape[-1], hidden), name="to_k")()
+        vk = _RawKernel((label_emb.shape[-1], hidden), name="to_v")()
+        ek = conv1x1(label_emb.astype(self.dtype), kk)    # (b, T, hidden)
+        ev = conv1x1(label_emb.astype(self.dtype), vk)
+        if self.per_frame_cond:
+            assert ek.shape[1] == f, (
+                "per-frame cond tokens must align with frame axis")
+            return (ek.reshape(b * f, 1, hidden),
+                    ev.reshape(b * f, 1, hidden))
+        t_tok = ek.shape[1]
+        ek = jnp.broadcast_to(ek[:, None], (b, f, t_tok, hidden))
+        ev = jnp.broadcast_to(ev[:, None], (b, f, t_tok, hidden))
+        return (ek.reshape(b * f, t_tok, hidden),
+                ev.reshape(b * f, t_tok, hidden))
+
     @nn.compact
-    def __call__(self, x, label_emb=None):
+    def __call__(self, x, label_emb=None, norm_gamma=None):
         b, f, h, w, c = x.shape
         hidden = self.heads * self.dim_head
         scale = self.dim_head ** -0.5
+
+        if norm_gamma is not None:
+            # fused whole-block plan (LN and residual INCLUDED)
+            from videometamaterials_tpu.ops.pallas.fused_linear_block import (
+                fused_linear_block,
+            )
+
+            assert self.cond_attention != "cross-attention"
+            qkv_kernel = _RawKernel((c, hidden * 3), name="to_qkv")()
+            cond_used = self.cond_attention != "none" and label_emb is not None
+            ek = ev = None
+            if cond_used:
+                ek, ev = self._fused_cond_kv(label_emb, b, f, hidden)
+            out_kernel = self.param("to_out_kernel", _KERNEL_INIT,
+                                    (hidden, self.dim), jnp.float32)
+            out_bias = self.param("to_out_bias", nn.initializers.zeros,
+                                  (self.dim,), jnp.float32)
+            x2 = x.reshape(b * f, h * w, c).astype(self.dtype)
+            out = fused_linear_block(
+                x2, norm_gamma.astype(jnp.float32),
+                qkv_kernel.astype(self.dtype), out_kernel.astype(self.dtype),
+                out_bias,
+                None if ek is None else ek.astype(self.dtype),
+                None if ev is None else ev.astype(self.dtype),
+                heads=self.heads, scale=scale, spatial_size=h * w)
+            return out.reshape(b, f, h, w, c)
+
         xf = x.reshape(b * f, h * w, c).astype(self.dtype)
 
         def to_heads(t):  # (bf, m, hidden) -> (bf, m, heads, d): reshape only
@@ -595,7 +661,8 @@ class SpatialAttentionBlock(nn.Module):
 
 class SpatialLinearAttentionBlock(nn.Module):
     """PreNorm + residual linear attention; inner module built in-scope as
-    'attn' (see TemporalAttentionBlock docstring)."""
+    'attn' (see TemporalAttentionBlock docstring). With use_fused_block, the
+    whole residual block runs as ONE Pallas kernel on TPU (same params)."""
 
     dim: int
     heads: int = 4
@@ -604,6 +671,20 @@ class SpatialLinearAttentionBlock(nn.Module):
     cond_dim: int = 64
     per_frame_cond: bool = False
     dtype: jnp.dtype = jnp.float32
+    use_fused_block: bool = False
+
+    def _fused_ok(self):
+        if not self.use_fused_block:
+            return False
+        if self.cond_attention == "cross-attention":
+            return False
+        if (self.heads * self.dim_head) % 128 != 0:
+            return False
+        try:
+            platform = jax.devices()[0].platform
+        except RuntimeError:
+            return False
+        return platform in ("tpu", "axon")
 
     @nn.compact
     def __call__(self, x, label_emb=None):
@@ -614,6 +695,8 @@ class SpatialLinearAttentionBlock(nn.Module):
             cond_attention=self.cond_attention, cond_dim=self.cond_dim,
             per_frame_cond=self.per_frame_cond, dtype=self.dtype,
             name="attn")
+        if self._fused_ok():
+            return attn(x, label_emb=label_emb, norm_gamma=gamma)
         y = attn(channel_layer_norm(x, gamma), label_emb=label_emb)
         return x + y.astype(x.dtype)
 
@@ -674,9 +757,12 @@ class UNet3D(nn.Module):
     # blocks, which dominate HBM traffic — and the fewest Mosaic shapes to
     # compile, which matters where kernel compiles are slow/flaky).
     use_fused_temporal_block: bool | str = False
+    # Same tri-state for the spatial linear-attention blocks
+    # (ops/pallas/fused_linear_block.py).
+    use_fused_linear_block: bool | str = False
 
-    def _fused_flag_for(self, dim):
-        flag = self.use_fused_temporal_block
+    def _tri_state(self, flag, dim):
+        """False | True/'all' (every level) | 'level0' (full-res blocks)."""
         if isinstance(flag, str):
             if flag == "all":
                 return True
@@ -684,6 +770,9 @@ class UNet3D(nn.Module):
                 return dim == (self.init_dim or self.dim)
             return False
         return bool(flag)
+
+    def _fused_flag_for(self, dim):
+        return self._tri_state(self.use_fused_temporal_block, dim)
 
     @property
     def _dtype(self):
@@ -719,6 +808,7 @@ class UNet3D(nn.Module):
             dim=dim, heads=self.attn_heads, dim_head=32,
             cond_attention=self._cond_attention, cond_dim=self._cond_dim,
             per_frame_cond=self.per_frame_cond, dtype=self._dtype,
+            use_fused_block=self._tri_state(self.use_fused_linear_block, dim),
             name=name)
 
     @nn.compact
@@ -907,4 +997,6 @@ class UNet3D(nn.Module):
             compute_dtype=cfg.compute_dtype,
             use_fused_temporal_block=getattr(
                 cfg, "use_fused_temporal_block", False),
+            use_fused_linear_block=getattr(
+                cfg, "use_fused_linear_block", False),
         )
