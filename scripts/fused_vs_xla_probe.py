@@ -51,7 +51,7 @@ def timeit(name, fn, args_list):
         print(json.dumps({"path": name, "ms_per_call": round(ms, 1)}),
               flush=True)
     except Exception as e:  # noqa: BLE001
-        print(json.dumps({"path": name, "error": repr(e)[:300]}), flush=True)
+        print(json.dumps({"path": name, "error": repr(e)[:4000]}), flush=True)
 
 
 # ---- fused Pallas (same program as the cached compile test: bf16 weights)

@@ -15,6 +15,11 @@ Mosaic-specific design notes (each worked around a hard lowering limit):
   - heads ride the innermost GRID dimension with weights blocked head-major;
     an f32 VMEM scratch accumulates head contributions across grid steps
     (a monolithic 8-head unrolled kernel OOM-killed the compiler);
+  - score/value contractions are VPU broadcast-multiply-reduces with the
+    folded spatial axis vectorized, NOT dot_generals batched over space
+    (those lower to S_blk tiny (F, d) MXU matmuls per cell — measured
+    ~2800x slower than the XLA path); projections/rotary/cond contractions
+    are tall (F*S_blk, ·) MXU matmuls;
   - rotate_half is a matmul with a constant (d, d) signed pair-swap matrix:
     rotary(t) = t*cos + (t@R)*sin — interleaved-basis exact, no strided
     lane ops, no sub-128-lane concats/rolls (all rejected by Mosaic);
@@ -66,6 +71,12 @@ def rotary_tables(num_frames: int, d: int, rot_dim: int):
 def _block_kernel(x_ref, gamma_ref, wqkv_ref, wout_ref, bias_ref, cos_ref,
                   sin_ref, rmat_ref, ek_ref, ev_ref, out_ref, acc_ref, *,
                   heads: int, scale: float, has_cond: bool):
+    """All contractions are either LARGE-M MXU matmuls over the flattened
+    (F*S_blk) row axis or VPU broadcast-multiply-reduces with the folded
+    spatial axis vectorized. The score/value contractions must NOT be
+    expressed as dot_generals batched over the spatial axis: that lowers to
+    S_blk tiny (F, d) matmuls per cell at <1% MXU utilization (measured
+    ~2800x slower than the XLA path at the flagship shape)."""
     f, s_blk, c = x_ref.shape[1], x_ref.shape[2], x_ref.shape[3]
     d = rmat_ref.shape[0]
     h = pl.program_id(2)
@@ -77,30 +88,33 @@ def _block_kernel(x_ref, gamma_ref, wqkv_ref, wout_ref, bias_ref, cos_ref,
     y = ((xf - mu) * jax.lax.rsqrt(var + 1e-5)
          * gamma_ref[0]).astype(x.dtype)             # (F, S, C)
 
-    # this head's q|k|v columns (head-major weight layout)
+    # this head's q|k|v columns (head-major weight layout); one tall matmul
     qkv = jax.lax.dot_general(
-        y, wqkv_ref[0],
-        dimension_numbers=(((2,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)          # (F, S, 3d) f32
-    qkv = qkv.transpose(1, 0, 2)                     # (S, F, 3d)
+        y.reshape(f * s_blk, c), wqkv_ref[0],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)          # (F*S, 3d) f32
 
-    cos = cos_ref[...][None, :, :]                   # (1, F, d)
-    sin = sin_ref[...][None, :, :]
+    cos = cos_ref[...]                               # (F, d)
+    sin = sin_ref[...]
     rmat = rmat_ref[...]                             # (d, d)
 
-    def rot(t):  # (S, F, d): t*cos + (t@R)*sin — interleaved-basis rotary
+    def rot(t2):  # (F*S, d) frame-major: t*cos + (t@R)*sin (interleaved)
         swapped = jax.lax.dot_general(
-            t, rmat, dimension_numbers=(((2,), (0,)), ((), ())),
+            t2, rmat, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
-        return t * cos + swapped * sin
+        return (t2.reshape(f, s_blk, d) * cos[:, None, :]
+                + swapped.reshape(f, s_blk, d) * sin[:, None, :])
 
-    qh = rot(qkv[..., 0:d])
-    kh = rot(qkv[..., d:2 * d])
-    vh = qkv[..., 2 * d:3 * d]
+    qh = rot(qkv[:, 0:d])                            # (F, S, d)
+    kh = rot(qkv[:, d:2 * d])
+    vh = qkv[:, 2 * d:3 * d].reshape(f, s_blk, d)
 
-    sim_v = jax.lax.dot_general(
-        qh, kh, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32) * scale  # (S, F, F)
+    # scores (i, j, s): spatial axis stays vectorized, reduce over d.
+    # Looping the query frame keeps the broadcast product at (F, S, d)
+    # (~4.5 MB lane-padded) instead of (F, F, S, d) (~50 MB, VMEM OOM).
+    sim_v = jnp.stack(
+        [jnp.sum(qh[i][None] * kh, axis=-1) for i in range(f)],
+        axis=0) * scale                              # (F, F, S)
 
     if has_cond:
         # joint softmax over [cond block | video block] without K/V concat
@@ -108,40 +122,43 @@ def _block_kernel(x_ref, gamma_ref, wqkv_ref, wout_ref, bias_ref, cos_ref,
         evh = ev_ref[0, 0].astype(jnp.float32)        # (Mc, d)
         m_c = ekh.shape[1]
         sim_c = jax.lax.dot_general(
-            qh, ekh, dimension_numbers=(((2,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale   # (S, F, Mc)
+            qh.reshape(f * s_blk, d), ekh,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        sim_c = sim_c.reshape(f, s_blk, m_c)         # (F, S, Mc)
         bh = bias_ref[0]                             # (F, M)
         bias_c = jax.lax.slice(bh, (0, 0), (f, m_c))
         bias_v = jax.lax.slice(bh, (0, m_c), (f, bh.shape[1]))
-        sim_c = sim_c + bias_c[None]
-        sim_v = sim_v + bias_v[None]
-        mx = jnp.maximum(jnp.max(sim_c, -1, keepdims=True),
-                         jnp.max(sim_v, -1, keepdims=True))
-        p_c = jnp.exp(sim_c - mx)
-        p_v = jnp.exp(sim_v - mx)
-        z = (jnp.sum(p_c, -1, keepdims=True)
-             + jnp.sum(p_v, -1, keepdims=True))
-        p_c = p_c / z
-        p_v = p_v / z
-        oh = jax.lax.dot_general(
-            p_v, vh, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)      # (S, F, d)
+        sim_c = sim_c + bias_c[:, None, :]
+        sim_v = sim_v + bias_v[:, :, None]
+        mx = jnp.maximum(jnp.max(sim_v, axis=1),
+                         jnp.max(sim_c, axis=-1))    # (F, S)
+        p_v = jnp.exp(sim_v - mx[:, None, :])
+        p_c = jnp.exp(sim_c - mx[:, :, None])
+        z = jnp.sum(p_v, axis=1) + jnp.sum(p_c, axis=-1)   # (F, S)
+        p_v = p_v / z[:, None, :]
+        p_c = p_c / z[:, :, None]
+        oh = jnp.stack(
+            [jnp.sum(p_v[i][..., None] * vh, axis=0) for i in range(f)],
+            axis=0)                                        # (F, S, d)
         oh = oh + jax.lax.dot_general(
-            p_c, evh, dimension_numbers=(((2,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+            p_c.reshape(f * s_blk, m_c), evh,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).reshape(f, s_blk, d)
     else:
-        sim_v = sim_v + bias_ref[0][None]
-        sim_v = sim_v - jnp.max(sim_v, axis=-1, keepdims=True)
-        p_v = jnp.exp(sim_v)
-        p_v = p_v / jnp.sum(p_v, axis=-1, keepdims=True)
-        oh = jax.lax.dot_general(
-            p_v, vh, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)      # (S, F, d)
+        sim_v = sim_v + bias_ref[0][:, :, None]
+        mx = jnp.max(sim_v, axis=1)                  # (F, S)
+        p_v = jnp.exp(sim_v - mx[:, None, :])
+        p_v = p_v / jnp.sum(p_v, axis=1)[:, None, :]
+        oh = jnp.stack(
+            [jnp.sum(p_v[i][..., None] * vh, axis=0) for i in range(f)],
+            axis=0)                                        # (F, S, d)
 
     contrib = jax.lax.dot_general(
-        oh, wout_ref[0], dimension_numbers=(((2,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)          # (S, F, C)
-    contrib = contrib.transpose(1, 0, 2)             # (F, S, C)
+        oh.reshape(f * s_blk, d), wout_ref[0],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    contrib = contrib.reshape(f, s_blk, c)           # (F, S, C)
 
     @pl.when(h == 0)
     def _():
@@ -156,7 +173,9 @@ def _block_kernel(x_ref, gamma_ref, wqkv_ref, wout_ref, bias_ref, cos_ref,
         out_ref[0] = acc_ref[...].astype(out_ref.dtype)
 
 
-def _block_size(s: int, target: int = 512) -> int:
+def _block_size(s: int, target: int = 256) -> int:
+    # 256 bounds the per-query-frame (F, S_blk, d) broadcast products to
+    # ~4.5 MB of (lane-padded) VMEM at the flagship shape.
     for cand in range(min(target, s), 0, -1):
         if s % cand == 0:
             return cand

@@ -17,9 +17,14 @@ HBM traffic per call drops from ~8 activation passes in the unfused graph
 one write of out: QKV, both softmaxes, the context matrix and head outputs
 live in VMEM only.
 
-Mosaic-specific design notes (mirroring ops/pallas/fused_block.py):
-  - heads ride the innermost GRID dimension with weights blocked head-major;
-    an f32 VMEM scratch accumulates head contributions across grid steps;
+Mosaic-specific design notes:
+  - ONE grid cell per folded frame with all heads unrolled in-kernel: x is
+    DMA'd and layer-normed exactly once and the head accumulator never
+    leaves registers (a heads-innermost grid variant measured no faster
+    than XLA — the per-grid-step x re-fetch/LN-recompute ate the win);
+  - every contraction is a tall (N, .) MXU matmul — the (d, d) context
+    matrix makes linear attention inherently MXU-friendly, unlike the
+    temporal kernel's per-position score matrices;
   - the k softmax is a per-feature softmax over the token (sublane) axis,
     reduced jointly over the video block and the conditioning block without
     concatenating them;
@@ -44,10 +49,13 @@ from videometamaterials_tpu.ops.norms import channel_layer_norm
 
 
 def _kernel(x_ref, gamma_ref, wqkv_ref, wout_ref, obias_ref, ek_ref, ev_ref,
-            out_ref, acc_ref, *, heads: int, scale: float, inv_hw: float,
+            out_ref, *, heads: int, scale: float, inv_hw: float,
             has_cond: bool):
+    """One grid cell per folded frame; all heads unrolled in-kernel so x is
+    DMA'd and layer-normed exactly once and the accumulator never leaves
+    registers (a heads-innermost grid measured no faster than XLA — the
+    per-step x re-fetch/LN-recompute ate the fusion win)."""
     d = wout_ref.shape[1]
-    h = pl.program_id(1)
 
     x = x_ref[0]                                      # (N, C)
     xf = x.astype(jnp.float32)
@@ -56,66 +64,59 @@ def _kernel(x_ref, gamma_ref, wqkv_ref, wout_ref, obias_ref, ek_ref, ev_ref,
     y = ((xf - mu) * jax.lax.rsqrt(var + 1e-5)
          * gamma_ref[0]).astype(x.dtype)              # (N, C)
 
-    qkv = jax.lax.dot_general(
-        y, wqkv_ref[0], dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)           # (N, 3d) f32
-    q = qkv[:, 0:d]
-    k = qkv[:, d:2 * d]
-    v = qkv[:, 2 * d:3 * d]
+    acc = xf + obias_ref[0]
+    for h in range(heads):
+        qkv = jax.lax.dot_general(
+            y, wqkv_ref[h], dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)       # (N, 3d) f32
+        q = qkv[:, 0:d]
+        k = qkv[:, d:2 * d]
+        v = qkv[:, 2 * d:3 * d]
 
-    # q: softmax over the feature axis, then the 1/sqrt(d) scale
-    # (vddp.py:367,371: softmax first, scale after)
-    q = q - jnp.max(q, axis=-1, keepdims=True)
-    q = jnp.exp(q)
-    q = q * (scale / jnp.sum(q, axis=-1, keepdims=True))
+        # q: softmax over the feature axis, then the 1/sqrt(d) scale
+        # (vddp.py:367,371: softmax first, scale after)
+        q = q - jnp.max(q, axis=-1, keepdims=True)
+        q = jnp.exp(q)
+        q = q * (scale / jnp.sum(q, axis=-1, keepdims=True))
 
-    # k: per-feature softmax over tokens = [cond block | video block]
-    # (cond tokens stack in FRONT, vddp.py:352-353 — order is irrelevant to
-    # the reductions below, which is why no concat is needed)
-    if has_cond:
-        kc = ek_ref[0, 0].astype(jnp.float32)         # (Mc, d)
-        vc = ev_ref[0, 0].astype(jnp.float32)
-        mx = jnp.maximum(jnp.max(k, axis=0, keepdims=True),
-                         jnp.max(kc, axis=0, keepdims=True))
-        pk = jnp.exp(k - mx)
-        pkc = jnp.exp(kc - mx)
-        z = (jnp.sum(pk, axis=0, keepdims=True)
-             + jnp.sum(pkc, axis=0, keepdims=True))
-        pk = pk / z
-        pkc = pkc / z
-        # context[d_k, d_v] = sum_tokens k'[t, d_k] * (v[t, d_v] / (H*W))
-        ctx = jax.lax.dot_general(
-            pk, v * inv_hw, dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)       # (d, d)
-        ctx = ctx + jax.lax.dot_general(
-            pkc, vc * inv_hw, dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-    else:
-        mx = jnp.max(k, axis=0, keepdims=True)
-        pk = jnp.exp(k - mx)
-        pk = pk / jnp.sum(pk, axis=0, keepdims=True)
-        ctx = jax.lax.dot_general(
-            pk, v * inv_hw, dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)       # (d, d)
+        # k: per-feature softmax over tokens = [cond block | video block]
+        # (cond tokens stack in FRONT, vddp.py:352-353 — order is irrelevant
+        # to the reductions below, which is why no concat is needed)
+        if has_cond:
+            kc = ek_ref[0, h].astype(jnp.float32)     # (Mc, d)
+            vc = ev_ref[0, h].astype(jnp.float32)
+            mx = jnp.maximum(jnp.max(k, axis=0, keepdims=True),
+                             jnp.max(kc, axis=0, keepdims=True))
+            pk = jnp.exp(k - mx)
+            pkc = jnp.exp(kc - mx)
+            z = (jnp.sum(pk, axis=0, keepdims=True)
+                 + jnp.sum(pkc, axis=0, keepdims=True))
+            pk = pk / z
+            pkc = pkc / z
+            # context[d_k, d_v] = sum_tokens k'[t, d_k] * (v[t, d_v]/(H*W))
+            ctx = jax.lax.dot_general(
+                pk, v * inv_hw, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)   # (d, d)
+            ctx = ctx + jax.lax.dot_general(
+                pkc, vc * inv_hw,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        else:
+            mx = jnp.max(k, axis=0, keepdims=True)
+            pk = jnp.exp(k - mx)
+            pk = pk / jnp.sum(pk, axis=0, keepdims=True)
+            ctx = jax.lax.dot_general(
+                pk, v * inv_hw, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)   # (d, d)
 
-    oh = jax.lax.dot_general(
-        q, ctx, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)           # (N, d)
-    contrib = jax.lax.dot_general(
-        oh, wout_ref[0], dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)           # (N, C)
+        oh = jax.lax.dot_general(
+            q, ctx, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)       # (N, d)
+        acc = acc + jax.lax.dot_general(
+            oh, wout_ref[h], dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)       # (N, C)
 
-    @pl.when(h == 0)
-    def _():
-        acc_ref[...] = xf + contrib + obias_ref[0]
-
-    @pl.when(h > 0)
-    def _():
-        acc_ref[...] = acc_ref[...] + contrib
-
-    @pl.when(h == heads - 1)
-    def _():
-        out_ref[0] = acc_ref[...].astype(out_ref.dtype)
+    out_ref[0] = acc.astype(out_ref.dtype)
 
 
 def reference_linear_block(x, gamma, w_qkv, w_out, out_bias, ek, ev, *,
@@ -203,7 +204,7 @@ def _run_kernel(x, gamma, w_qkv, w_out, out_bias, ek, ev, *, heads, scale,
         ek_h = ek.reshape(b, m_c, heads, d).transpose(0, 2, 1, 3)
         ev_h = ev.reshape(b, m_c, heads, d).transpose(0, 2, 1, 3)
 
-    grid = (b, heads)
+    grid = (b,)
     kernel = functools.partial(_kernel, heads=heads, scale=scale,
                                inv_hw=1.0 / spatial_size, has_cond=has_cond)
     return pl.pallas_call(
@@ -211,24 +212,23 @@ def _run_kernel(x, gamma, w_qkv, w_out, out_bias, ek, ev, *, heads, scale,
         out_shape=jax.ShapeDtypeStruct((b, n, c), x.dtype),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, n, c), lambda i, h: (i, 0, 0),
+            pl.BlockSpec((1, n, c), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c), lambda i, h: (0, 0),
+            pl.BlockSpec((1, c), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c, 3 * d), lambda i, h: (h, 0, 0),
+            pl.BlockSpec((heads, c, 3 * d), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, d, c), lambda i, h: (h, 0, 0),
+            pl.BlockSpec((heads, d, c), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c), lambda i, h: (0, 0),
+            pl.BlockSpec((1, c), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, m_c, d), lambda i, h: (i, h, 0, 0),
+            pl.BlockSpec((1, heads, m_c, d), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, m_c, d), lambda i, h: (i, h, 0, 0),
+            pl.BlockSpec((1, heads, m_c, d), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, n, c), lambda i, h: (i, 0, 0),
+        out_specs=pl.BlockSpec((1, n, c), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((n, c), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
