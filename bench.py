@@ -37,7 +37,10 @@ def main():
     from videometamaterials_tpu.diffusion import GaussianDiffusion
     from videometamaterials_tpu.models import UNet3D
 
-    cfg = ModelConfig()                      # paper config, DDPM 256/256
+    # paper config, DDPM 256/256; fused linear-attention Pallas kernel at
+    # the full-resolution level (measured 28.7 vs 32.3 ms/block vs XLA on
+    # the chained-scan probe, scripts/block_probe.py)
+    cfg = ModelConfig(use_fused_linear_block="level0")
     model = UNet3D.from_config(cfg)
     diffusion = GaussianDiffusion.from_config(model, cfg)
 

@@ -1,7 +1,8 @@
 #!/usr/bin/env python
 """Sweep guided-sampling throughput configurations on the real TPU.
 
-Each config = (batch, fused temporal block, scan chunk). Prints one JSON line
+Each config = (batch, fused linear-attention block, scan chunk). Prints one
+JSON line
 per config; errors are caught and logged so one flaky Mosaic compile does not
 kill the sweep. Run in background: compiles take minutes per program through
 the remote-compile service (persistent cache at /tmp/jax_cache makes repeats
@@ -27,7 +28,7 @@ def run(batch, fused, chunk, n_runs=2):
     from videometamaterials_tpu.diffusion import GaussianDiffusion
     from videometamaterials_tpu.models import UNet3D
 
-    cfg = ModelConfig(use_fused_temporal_block=fused,
+    cfg = ModelConfig(use_fused_linear_block=fused,
                       sample_scan_chunk=chunk)
     model = UNet3D.from_config(cfg)
     diffusion = GaussianDiffusion.from_config(model, cfg)

@@ -64,11 +64,9 @@ class ModelConfig:
     sample_scan_chunk: int | None = 64        # sampler scan segment length
                                               # (None = one fused scan)
     dynamic_thres_method: str = "bisect"      # 'bisect' | 'sort' (torch-exact)
-    use_fused_temporal_block: bool | str = False  # Pallas fused temporal
-                                              # attention block on TPU:
+    use_fused_linear_block: bool | str = False  # Pallas fused spatial
+                                              # linear-attention block on TPU:
                                               # False | 'level0' | 'all'/True
-    use_fused_linear_block: bool | str = False  # same tri-state for the
-                                              # spatial linear-attention blocks
 
     @property
     def channels(self) -> int:

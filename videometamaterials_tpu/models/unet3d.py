@@ -175,15 +175,6 @@ class Attention(nn.Module):
         ev = conv1x1(label_emb.astype(self.dtype), self.to_v_kernel)
         return ek, ev
 
-    def _build_bias(self, pos_bias, n, m, cond_used):
-        bias = jnp.zeros((self.heads, n, m), jnp.float32)
-        if pos_bias is not None:
-            pb = pos_bias.astype(jnp.float32)
-            bias = bias + jnp.pad(pb, ((0, 0), (0, 0), (m - n, 0)))
-            if self.per_frame_cond and cond_used and m != n:
-                bias = bias + jnp.pad(pb, ((0, 0), (0, 0), (0, m - n)))
-        return bias
-
     def __call__(self, x, pos_bias=None, focus_present_mask=None,
                  label_emb=None):
         b, s, n, c_in = x.shape
@@ -323,17 +314,27 @@ class Attention(nn.Module):
             ek = ek.reshape(b, t_tok, heads, dh).astype(jnp.float32)
             ev = ev.reshape(b, t_tok, heads, dh).astype(jnp.float32)
 
+        # The (b, i, m, s, heads) score/weight tensors dominate the block's
+        # HBM traffic (~1.1 GB each at the flagship shape). In the bf16
+        # compute path they are STORED in bf16 — mirroring the reference's
+        # fp16-AMP behavior, where the score einsum emits half-precision sim
+        # (main.py:34 autocast) — while every softmax statistic (max, sum)
+        # and accumulation still runs in float32. fp32 configs (parity
+        # tests, torch A/B) keep full-precision storage and are unchanged.
+        store = jnp.float32 if self.dtype == jnp.float32 else self.dtype
+
         # scores (b, i, j, s, heads): broadcast-multiply-reduce over d keeps
         # the huge folded axis vectorized and lets XLA fuse the reduction
         # q (b,i,1,s,H,d) * k (b,1,j,s,H,d) -> sum d -> (b,i,j,s,H)
         sim_v = jnp.sum(
-            (q[:, :, None] * k[:, None]).astype(jnp.float32), axis=-1)
+            (q[:, :, None] * k[:, None]).astype(jnp.float32),
+            axis=-1).astype(store)
         if cond_used:
             # cond keys broadcast over s inside the fused reduce — never
             # materialized per spatial position
             sim_c = jnp.sum(
                 q.astype(jnp.float32)[:, :, None]
-                * ek[:, None, :, None], axis=-1)       # (b,i,T,s,H)
+                * ek[:, None, :, None], axis=-1).astype(store)  # (b,i,T,s,H)
             sim = jnp.concatenate([sim_c, sim_v], axis=2)  # cond in FRONT
         else:
             sim = sim_v
@@ -346,67 +347,32 @@ class Attention(nn.Module):
             if self.per_frame_cond and cond_used and m != f:
                 full = full + jnp.pad(
                     bias, ((0, 0), (0, 0), (0, m - f), (0, 0), (0, 0)))
-            sim = sim + full
+            sim = sim + full.astype(store)
 
         if focus_present_mask is not None and not cond_used:
             eye = jnp.eye(f, dtype=bool)[None, :, :, None, None]
             allow = jnp.where(
                 focus_present_mask[:, None, None, None, None], eye, True)
-            sim = jnp.where(allow, sim, _NEG_INF)
+            sim = jnp.where(allow, sim, jnp.asarray(_NEG_INF, sim.dtype))
 
-        sim = sim - jnp.max(sim, axis=2, keepdims=True)
-        attn = jnp.exp(sim)
-        attn = attn / jnp.sum(attn, axis=2, keepdims=True)
+        # fp32 statistics; the exp/normalize upcast fuses into consumers so
+        # only bf16 sim/attn ever hit HBM in the bf16 path
+        mx = jnp.max(sim, axis=2, keepdims=True).astype(jnp.float32)
+        e = jnp.exp(sim.astype(jnp.float32) - mx)
+        attn = (e / jnp.sum(e, axis=2, keepdims=True)).astype(store)
 
         if cond_used:
             attn_c, attn_v = attn[:, :, :t_tok], attn[:, :, t_tok:]
-            out = jnp.sum(attn_v[..., None] * v[:, None].astype(jnp.float32),
-                          axis=2)
-            out = out + jnp.sum(attn_c[..., None] * ev[:, None, :, None],
-                                axis=2)
+            out = jnp.sum(attn_v[..., None].astype(jnp.float32)
+                          * v[:, None].astype(jnp.float32), axis=2)
+            out = out + jnp.sum(attn_c[..., None].astype(jnp.float32)
+                                * ev[:, None, :, None], axis=2)
         else:
-            out = jnp.sum(attn[..., None] * v[:, None].astype(jnp.float32),
-                          axis=2)
+            out = jnp.sum(attn[..., None].astype(jnp.float32)
+                          * v[:, None].astype(jnp.float32), axis=2)
         out = out.astype(self.dtype).reshape(b, f, s, hidden)
         out = conv1x1(out, self.to_out_kernel)
         return x_bfsc + out.astype(x_bfsc.dtype)
-
-    def fused_block(self, x_bfsc, norm_gamma, pos_bias=None, label_emb=None):
-        """Whole temporal attention block (LN + QKV + rotary + attention +
-        out-proj + residual) as ONE Pallas kernel over (B, F, HW, C) — no
-        head transposes, no score/QKV HBM round-trips, no (b,hw,f,c) layout
-        transposes. Weights are shared with __call__ (same params)."""
-        from videometamaterials_tpu.ops.pallas.fused_block import (
-            fused_temporal_block,
-        )
-
-        b, f, hw, c_in = x_bfsc.shape
-        d = self.dim_head
-        scale = d ** -0.5
-        assert self.dim == c_in
-
-        rot_dim = min(32, d)
-        freqs = jnp.asarray(rotary_frequencies(f, rot_dim))  # (f, rot)
-
-        cond_used = self.cond_attention != "none" and label_emb is not None
-        if cond_used:
-            ek, ev = self._cond_kv(label_emb)     # (b, f, hidden)
-            if self.per_frame_cond and self.use_rotary:
-                ek = apply_rotary_heads(ek, freqs, self.heads)
-            m = 2 * f
-        else:
-            ek = ev = None
-            m = f
-
-        bias = self._build_bias(pos_bias, f, m, cond_used)
-        return fused_temporal_block(
-            x_bfsc.astype(self.dtype), norm_gamma.astype(jnp.float32),
-            self.to_qkv_kernel.astype(self.dtype),
-            self.to_out_kernel.astype(self.dtype),
-            None if ek is None else ek.astype(self.dtype),
-            None if ev is None else ev.astype(self.dtype),
-            bias, freqs, heads=self.heads, scale=scale)
-
 
 class SpatialLinearAttention(nn.Module):
     """Linear attention over pixels per frame (vddp.py:313-378). Input:
@@ -558,12 +524,13 @@ class TemporalAttentionBlock(nn.Module):
     torch checkpoint importer targets. (Passing a pre-built module in as an
     attribute would register it in the scope that constructed it instead.)
 
-    Two execution plans sharing the same parameters:
-      - fused (TPU): ONE Pallas kernel over (b, f, h*w, c) — LN, QKV, rotary,
-        attention, out-proj and residual without leaving VMEM, and no layout
-        transposes (ops/pallas/fused_block.py);
-      - XLA fallback: LN + (b,f,h,w,c) <-> (b, h*w, f, c) transposes around
-        the shared Attention module."""
+    A whole-block Pallas kernel for this block was built and DELETED after
+    on-TPU measurement: the per-position (11, 32) score/value contractions
+    are inherently VPU work, and every Pallas formulation tried (batched
+    dot_generals, broadcast-reduce with lane-padded d, per-key unrolled
+    elementwise) measured 3x-2800x SLOWER than this XLA path (see
+    BENCH_NOTES.md kernel ledger). The frames-major temporal_xla plan below
+    is the fast path."""
 
     dim: int
     heads: int = 4
@@ -573,7 +540,6 @@ class TemporalAttentionBlock(nn.Module):
     cond_dim: int = 64
     per_frame_cond: bool = False
     dtype: jnp.dtype = jnp.float32
-    use_fused_block: bool = False
 
     def _make_attn(self):
         return Attention(dim=self.dim, heads=self.heads,
@@ -583,21 +549,6 @@ class TemporalAttentionBlock(nn.Module):
                          per_frame_cond=self.per_frame_cond,
                          dtype=self.dtype, name="attn")
 
-    def _fused_ok(self, focus_present_mask):
-        if not self.use_fused_block or focus_present_mask is not None:
-            return False
-        if self.cond_attention == "cross-attention":
-            return False
-        if (self.heads * self.dim_head) % 128 != 0:
-            return False
-        if not self.use_rotary:
-            return False
-        try:
-            platform = jax.devices()[0].platform
-        except RuntimeError:
-            return False
-        return platform in ("tpu", "axon")
-
     @nn.compact
     def __call__(self, x, pos_bias=None, focus_present_mask=None,
                  label_emb=None):
@@ -605,11 +556,6 @@ class TemporalAttentionBlock(nn.Module):
         gamma = self.param("norm_gamma", nn.initializers.ones, (self.dim,),
                            jnp.float32)
         attn = self._make_attn()
-        if self._fused_ok(focus_present_mask):
-            x4 = x.reshape(b, f, h * w, c)
-            out = attn.fused_block(x4, gamma, pos_bias=pos_bias,
-                                   label_emb=label_emb)
-            return out.reshape(b, f, h, w, c)
         if self.cond_attention in ("none", "self-stacked"):
             # optimized frames-major path: no transposes, rotary folded
             # into weights, cond K/V never materialized per position
@@ -752,13 +698,11 @@ class UNet3D(nn.Module):
     per_frame_cond: bool = False
     padding_mode: str = "zeros"
     compute_dtype: str = "bfloat16"
-    # Fuse temporal attention blocks into one Pallas kernel on TPU:
+    # Fuse spatial linear-attention blocks into one Pallas kernel on TPU
+    # (ops/pallas/fused_linear_block.py, measured faster than the XLA path):
     # False | True/'all' (every level) | 'level0' (only the full-resolution
-    # blocks, which dominate HBM traffic — and the fewest Mosaic shapes to
+    # blocks, which dominate traffic — and the fewest Mosaic shapes to
     # compile, which matters where kernel compiles are slow/flaky).
-    use_fused_temporal_block: bool | str = False
-    # Same tri-state for the spatial linear-attention blocks
-    # (ops/pallas/fused_linear_block.py).
     use_fused_linear_block: bool | str = False
 
     def _tri_state(self, flag, dim):
@@ -770,9 +714,6 @@ class UNet3D(nn.Module):
                 return dim == (self.init_dim or self.dim)
             return False
         return bool(flag)
-
-    def _fused_flag_for(self, dim):
-        return self._tri_state(self.use_fused_temporal_block, dim)
 
     @property
     def _dtype(self):
@@ -799,9 +740,7 @@ class UNet3D(nn.Module):
             dim=dim, heads=self.attn_heads, dim_head=self.attn_dim_head,
             use_rotary=True, cond_attention=self._cond_attention,
             cond_dim=self._cond_dim, per_frame_cond=self.per_frame_cond,
-            dtype=self._dtype,
-            use_fused_block=self._fused_flag_for(dim),
-            name=name)
+            dtype=self._dtype, name=name)
 
     def _spatial_linear_attn(self, dim, name):
         return SpatialLinearAttentionBlock(
@@ -995,8 +934,6 @@ class UNet3D(nn.Module):
             per_frame_cond=cfg.per_frame_cond,
             padding_mode=cfg.padding_mode,
             compute_dtype=cfg.compute_dtype,
-            use_fused_temporal_block=getattr(
-                cfg, "use_fused_temporal_block", False),
             use_fused_linear_block=getattr(
                 cfg, "use_fused_linear_block", False),
         )
