@@ -28,7 +28,7 @@ def run(batch, fused, chunk, n_runs=2):
     from videometamaterials_tpu.diffusion import GaussianDiffusion
     from videometamaterials_tpu.models import UNet3D
 
-    cfg = ModelConfig(use_fused_linear_block=fused,
+    cfg = ModelConfig(use_fused_linear_block="level0" if fused else False,
                       sample_scan_chunk=chunk)
     model = UNet3D.from_config(cfg)
     diffusion = GaussianDiffusion.from_config(model, cfg)

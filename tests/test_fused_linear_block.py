@@ -99,6 +99,36 @@ def test_module_fused_init_matches_unfused_param_tree():
     assert paths_u == paths_f
 
 
+def test_unet_from_config_fused_flag_matches_off(monkeypatch):
+    """End-to-end config plumbing: UNet3D.from_config with
+    use_fused_linear_block='level0' (kernel in interpret mode, platform gate
+    bypassed) produces the same output as the flag-off model on the same
+    params — guards the tri-state resolution and the block wiring."""
+    import videometamaterials_tpu.models.unet3d as u
+    from videometamaterials_tpu.config import ModelConfig
+    from videometamaterials_tpu.models import UNet3D
+
+    monkeypatch.setenv("VMT_PALLAS_INTERPRET", "1")
+    monkeypatch.setattr(u.SpatialLinearAttentionBlock, "_fused_ok",
+                        lambda self: self.use_fused_block)
+
+    kw = dict(image_size=16, num_frames=3, unet_dim=8, dim_mults=(1, 2),
+              unet_attn_heads=4, unet_attn_dim_head=32,  # hidden=128 gate
+              compute_dtype="float32")
+    m_off = UNet3D.from_config(ModelConfig(**kw))
+    m_on = UNet3D.from_config(ModelConfig(**kw,
+                                          use_fused_linear_block="level0"))
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (2, 3, 16, 16, 3))
+    t = jnp.zeros((2,), jnp.int32)
+    cond = jax.random.normal(rng, (2, 3))
+    params = m_off.init(rng, x, t, cond)
+    want = m_off.apply(params, x, t, cond)
+    got = m_on.apply(params, x, t, cond)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=5e-5, atol=5e-5)
+
+
 def test_kernel_is_differentiable():
     x, gamma, w_qkv, w_out, out_bias, ek, ev = _inputs(1)
 
