@@ -25,10 +25,11 @@ except Exception:
     pass
 
 BASELINE_VIDEOS_PER_MIN = 4.0   # README.md:53 (RTX 6000)
-# The metric is videos/min/CHIP: batching 8 conditions per sampler call
-# amortizes weight streaming and dispatch across the batch (measured best
-# point of the batch sweep, scripts/bench_sweep.py; 16 was slower).
-BATCH = 8
+# The metric is videos/min/CHIP. Batch 4 — the reference README's exact
+# workload — measured best in the post-kernel sweep (scripts/bench_sweep.py:
+# 4 -> 5.39, 8 -> 5.11, 16 -> 5.14 videos/min); the round-1 optimum of 8
+# moved down once the per-step forward got cheaper.
+BATCH = 4
 GUIDANCE = 5.0
 
 
