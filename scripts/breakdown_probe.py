@@ -17,7 +17,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 sys.path.insert(0, "/root/repo")
 
 ITERS = 16
-BATCH = 16          # CFG-folded batch for a sampling batch of 8
+BATCH = 8           # CFG-folded batch for the bench's sampling batch of 4
 
 
 def time_variant(name, no_temporal=False, no_linear=False, no_mid=False):
@@ -37,7 +37,7 @@ def time_variant(name, no_temporal=False, no_linear=False, no_mid=False):
         if no_mid:
             u.SpatialAttentionBlock.__call__ = lambda self, x, **kw: x
 
-        cfg = ModelConfig()
+        cfg = ModelConfig(use_fused_linear_block="level0")  # bench config
         model = UNet3D.from_config(cfg)
         rng = jax.random.PRNGKey(0)
         params = jax.jit(model.init)(

@@ -1,7 +1,7 @@
 """Pallas TPU kernel: whole spatial linear-attention block, fused.
 
-One kernel computes, per (folded-frame, head) grid cell, the residual linear
-(efficiency) attention block of the video U-Net (reference vddp.py:313-378
+One kernel computes, per folded-frame grid cell (all heads in-kernel), the
+residual linear (efficiency) attention block (reference vddp.py:313-378
 wrapped in Residual(PreNorm(...)) at vddp.py:673-682):
 
     out = x + W_out @ linear_attention( split_qkv( LN(x) @ W_qkv ), cond )
