@@ -329,45 +329,52 @@ class Attention(nn.Module):
         sim_v = jnp.sum(
             (q[:, :, None] * k[:, None]).astype(jnp.float32),
             axis=-1).astype(store)
+        bias = None
+        if pos_bias is not None:
+            bias = pos_bias.astype(jnp.float32)        # (H, i, j)
+            bias = bias.transpose(1, 2, 0)[None, :, :, None, :]  # (1,i,j,1,H)
+            sim_v = sim_v + bias.astype(store)
+
         if cond_used:
             # cond keys broadcast over s inside the fused reduce — never
             # materialized per spatial position
             sim_c = jnp.sum(
                 q.astype(jnp.float32)[:, :, None]
                 * ek[:, None, :, None], axis=-1).astype(store)  # (b,i,T,s,H)
-            sim = jnp.concatenate([sim_c, sim_v], axis=2)  # cond in FRONT
-        else:
-            sim = sim_v
-
-        if pos_bias is not None:
-            m = sim.shape[2]
-            bias = pos_bias.astype(jnp.float32)        # (H, n, n)
-            bias = bias.transpose(1, 2, 0)[None, :, :, None, :]  # (1,i,j,1,H)
-            full = jnp.pad(bias, ((0, 0), (0, 0), (m - f, 0), (0, 0), (0, 0)))
-            if self.per_frame_cond and cond_used and m != f:
-                full = full + jnp.pad(
-                    bias, ((0, 0), (0, 0), (0, m - f), (0, 0), (0, 0)))
-            sim = sim + full.astype(store)
-
-        if focus_present_mask is not None and not cond_used:
-            eye = jnp.eye(f, dtype=bool)[None, :, :, None, None]
-            allow = jnp.where(
-                focus_present_mask[:, None, None, None, None], eye, True)
-            sim = jnp.where(allow, sim, jnp.asarray(_NEG_INF, sim.dtype))
-
-        # fp32 statistics; the exp/normalize upcast fuses into consumers so
-        # only bf16 sim/attn ever hit HBM in the bf16 path
-        mx = jnp.max(sim, axis=2, keepdims=True).astype(jnp.float32)
-        e = jnp.exp(sim.astype(jnp.float32) - mx)
-        attn = (e / jnp.sum(e, axis=2, keepdims=True)).astype(store)
-
-        if cond_used:
-            attn_c, attn_v = attn[:, :, :t_tok], attn[:, :, t_tok:]
+            if bias is not None and self.per_frame_cond and t_tok == f:
+                # per-frame cond: bias also lands on the cond block
+                # (vddp.py:502-512)
+                sim_c = sim_c + bias.astype(store)
+            # JOINT softmax over [cond block | video block] WITHOUT the
+            # concatenated (b, i, T+j, s, H) tensor the reference builds
+            # (vddp.py:473-474): statistics reduce over each block and
+            # combine — removes two full-sim HBM materializations (the
+            # concat write and the attn re-slice)
+            mx = jnp.maximum(
+                jnp.max(sim_v, axis=2, keepdims=True),
+                jnp.max(sim_c, axis=2, keepdims=True)).astype(jnp.float32)
+            e_v = jnp.exp(sim_v.astype(jnp.float32) - mx)
+            e_c = jnp.exp(sim_c.astype(jnp.float32) - mx)
+            z = (jnp.sum(e_v, axis=2, keepdims=True)
+                 + jnp.sum(e_c, axis=2, keepdims=True))
+            attn_v = (e_v / z).astype(store)
+            attn_c = (e_c / z).astype(store)
             out = jnp.sum(attn_v[..., None].astype(jnp.float32)
                           * v[:, None].astype(jnp.float32), axis=2)
             out = out + jnp.sum(attn_c[..., None].astype(jnp.float32)
                                 * ev[:, None, :, None], axis=2)
         else:
+            if focus_present_mask is not None:
+                eye = jnp.eye(f, dtype=bool)[None, :, :, None, None]
+                allow = jnp.where(
+                    focus_present_mask[:, None, None, None, None], eye, True)
+                sim_v = jnp.where(allow, sim_v,
+                                  jnp.asarray(_NEG_INF, sim_v.dtype))
+            # fp32 statistics; the exp/normalize upcast fuses into consumers
+            # so only bf16 sim/attn ever hit HBM in the bf16 path
+            mx = jnp.max(sim_v, axis=2, keepdims=True).astype(jnp.float32)
+            e = jnp.exp(sim_v.astype(jnp.float32) - mx)
+            attn = (e / jnp.sum(e, axis=2, keepdims=True)).astype(store)
             out = jnp.sum(attn[..., None].astype(jnp.float32)
                           * v[:, None].astype(jnp.float32), axis=2)
         out = out.astype(self.dtype).reshape(b, f, s, hidden)
