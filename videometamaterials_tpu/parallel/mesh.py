@@ -13,6 +13,15 @@ stack (SURVEY.md §2.3, §5.8):
     device count, device_put with batch sharding, one jitted sample call, and
     slice off the padding — barriers are implicit in SPMD program order;
   - multi-host entry: jax.distributed.initialize() (initialize_distributed()).
+
+Extension point (SURVEY.md §5.7): the reference needs no sequence/context
+parallelism — the temporal axis is 11 frames and attention is factorized, so
+no op sees more than 11 temporal tokens or 144 spatial tokens at the
+bottleneck. If frame counts grow by orders of magnitude, add a second mesh
+axis (('data', 'seq')) and shard the frame dimension of the video tensors
+with NamedSharding(P('data', 'seq')); the temporal attention would then need
+a ring/all-gather of K/V over 'seq' — none of which is warranted at
+reference scale.
 """
 
 from __future__ import annotations
