@@ -39,8 +39,10 @@ def main():
     from videometamaterials_tpu.models import UNet3D
 
     # paper config, DDPM 256/256; fused linear-attention Pallas kernel at
-    # the full-resolution level (measured 28.7 vs 32.3 ms/block vs XLA on
-    # the chained-scan probe, scripts/block_probe.py)
+    # the full-resolution level (chained-scan A/B: 28.7 vs 32.3 ms/block).
+    # Level 1 measured a 6.5x standalone win (9.6 vs 62.6 ms) but ZERO
+    # in-graph bench change (5.40 vs 5.44 best-of-3) — XLA schedules the
+    # in-context level-1 block fine; one Mosaic shape kept for cold compiles.
     cfg = ModelConfig(use_fused_linear_block="level0")
     model = UNet3D.from_config(cfg)
     diffusion = GaussianDiffusion.from_config(model, cfg)

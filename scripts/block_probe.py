@@ -31,7 +31,10 @@ from videometamaterials_tpu.models.unet3d import (  # noqa: E402
     TemporalAttentionBlock,
 )
 
-B, F, HW, C, HEADS, D = 16, 11, 96, 64, 8, 32
+import os
+B, F, HEADS, D = 16, 11, 8, 32
+HW = int(os.environ.get("PROBE_HW", "96"))     # 96 = level 0, 48 = level 1
+C = int(os.environ.get("PROBE_C", "64"))       # 64 = level 0, 128 = level 1
 COND_DIM = 256
 ITERS = 10
 

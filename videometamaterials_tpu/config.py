@@ -64,9 +64,10 @@ class ModelConfig:
     sample_scan_chunk: int | None = 64        # sampler scan segment length
                                               # (None = one fused scan)
     dynamic_thres_method: str = "bisect"      # 'bisect' | 'sort' (torch-exact)
-    use_fused_linear_block: bool | str = False  # Pallas fused spatial
+    use_fused_linear_block: bool | str | int = False  # Pallas fused spatial
                                               # linear-attention block on TPU:
                                               # False | 'level0' | 'all'/True
+                                              # | int N (blocks with dim<=N)
 
     @property
     def channels(self) -> int:

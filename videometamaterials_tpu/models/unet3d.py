@@ -713,14 +713,19 @@ class UNet3D(nn.Module):
     use_fused_linear_block: bool | str = False
 
     def _tri_state(self, flag, dim):
-        """False | True/'all' (every level) | 'level0' (full-res blocks)."""
+        """False | True/'all' (every level) | 'level0' (full-res blocks) |
+        int N (blocks with dim <= N, e.g. 128 = levels 0+1 — each distinct
+        dim is one more Mosaic kernel shape to compile)."""
+        if isinstance(flag, bool):
+            return flag
+        if isinstance(flag, int):
+            return dim <= flag
         if isinstance(flag, str):
             if flag == "all":
                 return True
             if flag == "level0":
                 return dim == (self.init_dim or self.dim)
-            return False
-        return bool(flag)
+        return False
 
     @property
     def _dtype(self):
