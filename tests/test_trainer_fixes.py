@@ -1,0 +1,197 @@
+"""Trainer correctness details: validation-loss padding/masking, gradient
+accumulation (vddp.py:1620), horizontal_flip plumbing (vddp.py:1134,1252),
+overlapping async checkpoint saves, and the tracer-dispatch helper."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from videometamaterials_tpu.config import ModelConfig, TrainerConfig
+from videometamaterials_tpu.data.synthetic import make_synthetic_dataset
+from videometamaterials_tpu.diffusion import GaussianDiffusion
+from videometamaterials_tpu.models import UNet3D
+from videometamaterials_tpu.training import Trainer
+
+IMG, FRAMES = 16, 3
+
+
+@pytest.fixture(scope="module")
+def data_dirs(tmp_path_factory):
+    root = tmp_path_factory.mktemp("trainer_fixes")
+    train_dir = root / "train"
+    val_dir = root / "val"
+    make_synthetic_dataset(train_dir, num_samples=6, image_size=IMG,
+                           num_frames=FRAMES, seed=0)
+    # 5 validation samples: NOT a multiple of the 8-device test mesh, so the
+    # sweep must pad — the tail-batch case of VERDICT weak-item 2
+    make_synthetic_dataset(val_dir, num_samples=5, image_size=IMG,
+                           num_frames=FRAMES, seed=1)
+    return root, train_dir, val_dir
+
+
+def _tiny_mcfg(**kw):
+    return ModelConfig(
+        batch_size=1, image_size=IMG, num_frames=FRAMES,
+        train_timesteps=8, sampling_timesteps=8,
+        unet_dim=8, dim_mults=(1, 2), unet_attn_heads=2,
+        unet_attn_dim_head=4, compute_dtype="float32", **kw)
+
+
+def _make_trainer(data_dirs, mcfg=None, run="run", **tcfg_kw):
+    root, train_dir, val_dir = data_dirs
+    mcfg = mcfg or _tiny_mcfg()
+    tcfg = TrainerConfig(train_num_steps=2, save_and_sample_every=1000,
+                         test_batch_size=2, ema_start_step=1,
+                         ema_update_every=1, log=False, seed=0, **tcfg_kw)
+    model = UNet3D.from_config(mcfg)
+    diffusion = GaussianDiffusion.from_config(model, mcfg)
+    return Trainer(diffusion, mcfg, tcfg, train_dir, val_dir,
+                   results_folder=root / "runs" / run, run_name=run)
+
+
+def test_validation_loss_masks_padded_rows(data_dirs):
+    """Padded tail rows must not bias the validation loss: the sweep result
+    equals the true size-weighted mean of per-sample losses over REAL rows,
+    reproduced independently from the raw loss fn with the same rng chain."""
+    trainer = _make_trainer(data_dirs, run="valloss")
+    got = trainer.validation_loss()
+
+    from videometamaterials_tpu.parallel.mesh import pad_to_multiple
+    rng = jax.random.PRNGKey(trainer.tcfg.seed + 1234)
+    n_val = len(trainer.ds_test)
+    bs = min(trainer.test_batch, n_val)
+    total, count = 0.0, 0
+    for i in range(0, n_val, bs):
+        v, c = trainer.ds_test.get_batch(np.arange(i, min(i + bs, n_val)))
+        n_real = v.shape[0]
+        v, _ = pad_to_multiple(v, trainer.n_devices)
+        c, _ = pad_to_multiple(c, trainer.n_devices)
+        rng, sub = jax.random.split(rng)
+        per = np.asarray(trainer.diffusion.loss(
+            trainer.state.params, sub, jnp.asarray(v), jnp.asarray(c),
+            null_cond_prob=trainer.tcfg.null_cond_prob,
+            per_sample=True))
+        assert per.shape == (v.shape[0],)
+        total += float(per[:n_real].sum())
+        count += n_real
+    assert count == n_val
+    assert got == pytest.approx(total / count, rel=1e-5)
+
+    # the pre-fix computation (mean over padded rows, mean of batch means)
+    # would differ whenever padding occurred; make sure padding DID occur
+    assert n_val % trainer.n_devices != 0
+
+
+def test_per_sample_loss_matches_batch_mean():
+    """per_sample=True must average to the scalar loss exactly."""
+    mcfg = _tiny_mcfg()
+    model = UNet3D.from_config(mcfg)
+    diffusion = GaussianDiffusion.from_config(model, mcfg)
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.uniform(rng, (4, FRAMES, IMG, IMG, 3))
+    cond = jax.random.normal(rng, (4, FRAMES))
+    params = model.init(jax.random.PRNGKey(1), x, jnp.zeros((4,), jnp.int32),
+                        cond)
+    scalar = diffusion.loss(params, rng, x, cond)
+    per = diffusion.loss(params, rng, x, cond, per_sample=True)
+    np.testing.assert_allclose(float(per.mean()), float(scalar), rtol=1e-6)
+
+
+def test_gradient_accumulation_matches_manual_average(data_dirs):
+    """k accumulated micro-batches must apply ONE Adam update with the
+    grad averaged over the k micro-batches (vddp.py:1620 semantics), with
+    params frozen in between."""
+    k = 2
+    # null_cond_prob=0: the CFG null-token params then get EXACTLY zero
+    # grads on both paths (Adam maps them to exactly zero updates); with a
+    # nonzero prob their grads are pure float noise between the jitted
+    # sharded step and the eager reference, which Adam's normalization
+    # amplifies to sign-random +-3e-5 updates
+    trainer = _make_trainer(data_dirs, run="accum",
+                            gradient_accumulate_every=k, null_cond_prob=0.0)
+    params0 = jax.device_get(trainer.state.params)
+
+    batches = []
+    rng = trainer.rng
+    for i in range(k):
+        idx = np.arange(i, i + trainer.global_batch) % len(trainer.ds)
+        v, c = trainer.ds.get_batch(idx)
+        batches.append((jnp.asarray(v), jnp.asarray(c)))
+
+    # micro-step 1: no param change yet
+    state = trainer._train_step(trainer.state, batches[0][0], batches[0][1],
+                                rng)[0]
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), b),
+        jax.device_get(state.params), params0)
+
+    state, _ = trainer._train_step(state, batches[1][0], batches[1][1], rng)
+    got = jax.device_get(state.params)
+
+    # manual: grads at params0 for each micro-batch (same fold_in chain),
+    # averaged, then one plain-Adam update
+    grads = []
+    for i, (v, c) in enumerate(batches):
+        step_rng = jax.random.fold_in(rng, i)
+        g = jax.grad(lambda p: trainer.diffusion.loss(
+            p, step_rng, v, c,
+            null_cond_prob=trainer.tcfg.null_cond_prob))(params0)
+        # a wrong-accumulation bug shifts params at the O(lr)=1e-4 scale;
+        # float-path noise between the jitted sharded step and this eager
+        # reference stays orders of magnitude below the tolerance
+        grads.append(g)
+    avg = jax.tree.map(lambda *gs: sum(gs) / len(gs), *grads)
+    tx = optax.adam(trainer.mcfg.learning_rate)
+    updates, _ = tx.update(avg, tx.init(params0), params0)
+    want = jax.device_get(optax.apply_updates(params0, updates))
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-3, atol=2e-6),
+        got, want)
+
+
+def test_horizontal_flip_plumbed_to_train_set_only(data_dirs):
+    trainer = _make_trainer(data_dirs, run="flip", horizontal_flip=True)
+    assert trainer.ds.horizontal_flip is True
+    assert trainer.ds_test.horizontal_flip is False
+
+
+def test_overlapping_orbax_saves(tmp_path):
+    """Back-to-back async saves (save interval < save duration) must not
+    raise and both checkpoints must restore (VERDICT weak-item 3)."""
+    pytest.importorskip("orbax.checkpoint")
+    from videometamaterials_tpu.training import checkpoint as ckpt
+
+    payload = {"params": {"w": np.arange(4.0, dtype=np.float32)},
+               "step": np.int32(0)}
+    for step in (1, 2, 3):
+        payload["step"] = np.int32(step)
+        payload["params"]["w"] = payload["params"]["w"] + 1.0
+        ckpt.save_checkpoint(tmp_path, step, payload, backend="orbax")
+    ckpt.wait_for_saves()
+    template = {"params": {"w": np.zeros(4, np.float32)},
+                "step": np.int32(0)}
+    for step in (1, 2, 3):
+        restored, _ = ckpt.load_checkpoint(tmp_path, step, template)
+        assert int(restored["step"]) == step
+        np.testing.assert_allclose(restored["params"]["w"],
+                                   np.arange(4.0) + step)
+
+
+def test_is_traced():
+    from videometamaterials_tpu.utils import is_traced
+
+    assert not is_traced(np.zeros(3))
+    assert not is_traced(jnp.zeros(3))
+    assert not is_traced(1.0)
+    seen = []
+
+    @jax.jit
+    def f(x):
+        seen.append(is_traced(x))
+        return x
+
+    f(jnp.zeros(3))
+    assert seen == [True]

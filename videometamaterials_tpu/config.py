@@ -92,6 +92,10 @@ class TrainerConfig:
     num_preds: int = 1                        # main.py:21
     num_samples: int = 3                      # main.py:117
     max_grad_norm: float | None = None
+    gradient_accumulate_every: int = 1        # micro-batches per optimizer
+                                              # step (vddp.py:1620 accumulate)
+    horizontal_flip: bool = False             # train-set augmentation
+                                              # (vddp.py:1134,1252)
     test_batch_size: int = 2                  # halved vs train (vddp.py:1460)
     seed: int = 0
     log: bool = True

@@ -27,6 +27,7 @@ from videometamaterials_tpu.ops.schedules import (
     extract,
     make_schedule,
 )
+from videometamaterials_tpu.utils import is_traced
 
 
 def normalize_img(x):
@@ -202,7 +203,7 @@ class GaussianDiffusion:
 
         # inside an outer jit trace, host-driven chunking is impossible (and
         # the caller explicitly asked for one program) -> fused scan
-        if not self.scan_chunk_size or isinstance(img, jax.core.Tracer):
+        if not self.scan_chunk_size or is_traced(img):
             img, _ = self._ddpm_scan(params, img, rng, ts, cond,
                                      guidance_scale)
             return unnormalize_img(img)
@@ -264,7 +265,7 @@ class GaussianDiffusion:
         rng, init_rng = jax.random.split(rng)
         img = jax.random.normal(init_rng, shape, jnp.float32)
 
-        if not self.scan_chunk_size or isinstance(img, jax.core.Tracer):
+        if not self.scan_chunk_size or is_traced(img):
             img, _ = self._ddim_scan(params, img, rng, jnp.asarray(pairs),
                                      cond, guidance_scale)
             return unnormalize_img(img)
@@ -324,8 +325,14 @@ class GaussianDiffusion:
 
     # ------------------------------------------------------------------ loss
     def p_losses(self, params, rng, x_start, t, cond, null_cond_prob=0.0,
-                 focus_present_mask=None, prob_focus_present=0.0):
-        """epsilon-prediction loss (vddp.py:1044-1060)."""
+                 focus_present_mask=None, prob_focus_present=0.0,
+                 per_sample: bool = False):
+        """epsilon-prediction loss (vddp.py:1044-1060).
+
+        per_sample=True returns the (b,) vector of per-sample means instead of
+        the batch mean — used by validation so padded rows can be masked out
+        and tail batches size-weighted (the reference gathers true per-batch
+        losses, vddp.py:1695-1714)."""
         noise_rng, mask_rng, focus_rng = jax.random.split(rng, 3)
         noise = jax.random.normal(noise_rng, x_start.shape, x_start.dtype)
         x_noisy = self.q_sample(x_start, t, noise)
@@ -340,13 +347,18 @@ class GaussianDiffusion:
                                    null_cond_mask=null_mask,
                                    focus_present_mask=focus_present_mask)
         if self.loss_type == "l1":
-            return jnp.mean(jnp.abs(noise - eps_hat))
-        if self.loss_type == "l2":
-            return jnp.mean(jnp.square(noise - eps_hat))
-        raise NotImplementedError(self.loss_type)
+            err = jnp.abs(noise - eps_hat)
+        elif self.loss_type == "l2":
+            err = jnp.square(noise - eps_hat)
+        else:
+            raise NotImplementedError(self.loss_type)
+        if per_sample:
+            return jnp.mean(err.reshape(b, -1), axis=-1)
+        return jnp.mean(err)
 
     def loss(self, params, rng, x, cond, null_cond_prob=0.0,
-             focus_present_mask=None, prob_focus_present=0.0):
+             focus_present_mask=None, prob_focus_present=0.0,
+             per_sample: bool = False):
         """Training objective on [0,1] videos: draw t ~ U[0,T), map to [-1,1]
         (vddp.py:1062-1067)."""
         b, f, h, w, c = x.shape
@@ -358,7 +370,8 @@ class GaussianDiffusion:
         return self.p_losses(params, loss_rng, normalize_img(x), t, cond,
                              null_cond_prob=null_cond_prob,
                              focus_present_mask=focus_present_mask,
-                             prob_focus_present=prob_focus_present)
+                             prob_focus_present=prob_focus_present,
+                             per_sample=per_sample)
 
     @classmethod
     def from_config(cls, model, cfg) -> "GaussianDiffusion":

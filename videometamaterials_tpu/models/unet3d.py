@@ -316,11 +316,13 @@ class Attention(nn.Module):
 
         # The (b, i, m, s, heads) score/weight tensors dominate the block's
         # HBM traffic (~1.1 GB each at the flagship shape). In the bf16
-        # compute path they are STORED in bf16 — mirroring the reference's
-        # fp16-AMP behavior, where the score einsum emits half-precision sim
-        # (main.py:34 autocast) — while every softmax statistic (max, sum)
-        # and accumulation still runs in float32. fp32 configs (parity
-        # tests, torch A/B) keep full-precision storage and are unchanged.
+        # compute path they are STORED in bf16 — analogous to (but coarser
+        # than) the reference's fp16-AMP half-precision sim (main.py:34
+        # autocast; bf16 carries 7 mantissa bits vs fp16's 10) — while every
+        # softmax statistic (max, sum) and accumulation still runs in
+        # float32; on-TPU training convergence was re-validated with this
+        # storage. fp32 configs (parity tests, torch A/B) keep
+        # full-precision storage and are unchanged.
         store = jnp.float32 if self.dtype == jnp.float32 else self.dtype
 
         # scores (b, i, j, s, heads): broadcast-multiply-reduce over d keeps
@@ -449,7 +451,10 @@ class SpatialLinearAttention(nn.Module):
                 None if ek is None else ek.astype(self.dtype),
                 None if ev is None else ev.astype(self.dtype),
                 heads=self.heads, scale=scale, spatial_size=h * w)
-            return out.reshape(b, f, h, w, c)
+            # match the unfused plan's output dtype (x + y.astype(x.dtype))
+            # so the two plans stay interchangeable even for fp32 inputs
+            # under bf16 compute
+            return out.reshape(b, f, h, w, c).astype(x.dtype)
 
         xf = x.reshape(b * f, h * w, c).astype(self.dtype)
 
@@ -709,8 +714,9 @@ class UNet3D(nn.Module):
     # (ops/pallas/fused_linear_block.py, measured faster than the XLA path):
     # False | True/'all' (every level) | 'level0' (only the full-resolution
     # blocks, which dominate traffic — and the fewest Mosaic shapes to
-    # compile, which matters where kernel compiles are slow/flaky).
-    use_fused_linear_block: bool | str = False
+    # compile, which matters where kernel compiles are slow/flaky) |
+    # int N (fuse blocks with dim <= N, e.g. 128 = levels 0+1).
+    use_fused_linear_block: bool | str | int = False
 
     def _tri_state(self, flag, dim):
         """False | True/'all' (every level) | 'level0' (full-res blocks) |

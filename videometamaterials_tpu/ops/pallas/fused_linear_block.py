@@ -48,13 +48,20 @@ from jax.experimental.pallas import tpu as pltpu
 from videometamaterials_tpu.ops.norms import channel_layer_norm
 
 
-def _kernel(x_ref, gamma_ref, wqkv_ref, wout_ref, obias_ref, ek_ref, ev_ref,
-            out_ref, *, heads: int, scale: float, inv_hw: float,
-            has_cond: bool):
+def _kernel(x_ref, gamma_ref, wqkv_ref, wout_ref, obias_ref, *refs, heads: int,
+            scale: float, inv_hw: float, has_cond: bool):
     """One grid cell per folded frame; all heads unrolled in-kernel so x is
     DMA'd and layer-normed exactly once and the accumulator never leaves
     registers (a heads-innermost grid measured no faster than XLA — the
-    per-step x re-fetch/LN-recompute ate the fusion win)."""
+    per-step x re-fetch/LN-recompute ate the fusion win).
+
+    refs = (ek_ref, ev_ref, out_ref) when has_cond else (out_ref,): the
+    conditioning operands exist only in the conditioned specialization — the
+    uncond variant neither declares nor DMAs them."""
+    if has_cond:
+        ek_ref, ev_ref, out_ref = refs
+    else:
+        (out_ref,) = refs
     d = wout_ref.shape[1]
 
     x = x_ref[0]                                      # (N, C)
@@ -195,44 +202,42 @@ def _run_kernel(x, gamma, w_qkv, w_out, out_bias, ek, ev, *, heads, scale,
         .reshape(heads, c, 3 * d)
     wout_hm = w_out.astype(jnp.float32).reshape(heads, d, c)
 
-    if not has_cond:
-        m_c = 1   # placeholder blocks (never read)
-        ek_h = jnp.zeros((b, heads, 1, d), x.dtype)
-        ev_h = jnp.zeros((b, heads, 1, d), x.dtype)
-    else:
-        m_c = ek.shape[1]
-        ek_h = ek.reshape(b, m_c, heads, d).transpose(0, 2, 1, 3)
-        ev_h = ev.reshape(b, m_c, heads, d).transpose(0, 2, 1, 3)
-
     grid = (b,)
     kernel = functools.partial(_kernel, heads=heads, scale=scale,
                                inv_hw=1.0 / spatial_size, has_cond=has_cond)
+    in_specs = [
+        pl.BlockSpec((1, n, c), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, c), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((heads, c, 3 * d), lambda i: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((heads, d, c), lambda i: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, c), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands = [x, gamma2, wqkv_hm.astype(x.dtype), wout_hm, obias2]
+    if has_cond:
+        m_c = ek.shape[1]
+        ek_h = ek.reshape(b, m_c, heads, d).transpose(0, 2, 1, 3)
+        ev_h = ev.reshape(b, m_c, heads, d).transpose(0, 2, 1, 3)
+        cond_spec = pl.BlockSpec((1, heads, m_c, d), lambda i: (i, 0, 0, 0),
+                                 memory_space=pltpu.VMEM)
+        in_specs += [cond_spec, cond_spec]
+        operands += [ek_h, ev_h]
+
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((b, n, c), x.dtype),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, n, c), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((heads, c, 3 * d), lambda i: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((heads, d, c), lambda i: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, heads, m_c, d), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, heads, m_c, d), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, n, c), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(x, gamma2, wqkv_hm.astype(x.dtype), wout_hm, obias2, ek_h, ev_h)
+    )(*operands)
 
 
 def fused_linear_block(x, gamma, w_qkv, w_out, out_bias, ek, ev, *,

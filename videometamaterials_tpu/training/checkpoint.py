@@ -72,6 +72,12 @@ def save_checkpoint(results_folder: str | Path, step: int, payload: dict,
         path = d / "orbax"
         host_payload = jax.tree.map(np.asarray, host_payload)
         ckptr = _get_async_checkpointer()
+        # join any in-flight save first: AsyncCheckpointer raises if a new
+        # save is issued while another is still writing (possible when the
+        # save interval is shorter than the save duration); the wait blocks
+        # only until the PREVIOUS write commits, so saves still overlap
+        # training between milestones
+        ckptr.wait_until_finished()
         ckptr.save(path, args=ocp.args.StandardSave(host_payload),
                    force=True)
     else:

@@ -87,12 +87,14 @@ class Trainer:
         self.reference_frame = model_cfg.reference_frame
         self.num_frames = model_cfg.num_frames
 
-        # ---- data (val reuses train scaling, vddp.py:1477-1478)
+        # ---- data (val reuses train scaling, vddp.py:1477-1478; flip is a
+        # train-only augmentation, vddp.py:1252)
         self.ds = VideoDataset(
             folder, model_cfg.image_size, labels_scaling=None,
             selected_channels=self.selected_channels,
             num_frames=self.num_frames, per_frame_cond=self.per_frame_cond,
-            reference_frame=self.reference_frame)
+            reference_frame=self.reference_frame,
+            horizontal_flip=trainer_cfg.horizontal_flip)
         print(f"found {len(self.ds)} videos as gif files in {folder}")
         self.ds_test = VideoDataset(
             validation_folder, model_cfg.image_size,
@@ -119,6 +121,14 @@ class Trainer:
             chain.append(optax.clip_by_global_norm(trainer_cfg.max_grad_norm))
         chain.append(optax.adam(model_cfg.learning_rate))
         self.tx = optax.chain(*chain)
+        if trainer_cfg.gradient_accumulate_every > 1:
+            # gradient accumulation (vddp.py:1620 accelerator.accumulate):
+            # grads are averaged over k micro-steps, params/Adam state update
+            # on every k-th; the step counter keeps counting micro-steps so
+            # EMA/milestone cadence matches the reference loop-iteration
+            # semantics
+            self.tx = optax.MultiSteps(
+                self.tx, every_k_schedule=trainer_cfg.gradient_accumulate_every)
 
         # ---- state
         self.rng = jax.random.PRNGKey(trainer_cfg.seed)
@@ -143,16 +153,23 @@ class Trainer:
         self.state = jax.device_put(state, self._repl)
 
         self._train_step = self._build_train_step()
+        # per-sample validation losses: padded tail rows are masked out on
+        # the host and batches size-weighted (vddp.py:1695-1714 gathers true
+        # per-batch losses; a plain mean over padded batches would bias small
+        # validation sets)
         self._loss_fn = jax.jit(
             lambda params, rng, x, c: self.diffusion.loss(
                 params, rng, x, c,
                 null_cond_prob=self.tcfg.null_cond_prob,
-                prob_focus_present=self.tcfg.prob_focus_present))
+                prob_focus_present=self.tcfg.prob_focus_present,
+                per_sample=True))
         self._sample_fns: dict = {}
 
         self._metrics_path = self.results_folder / "metrics.jsonl"
         self._wandb = None
-        if trainer_cfg.log:
+        # rank-0-only tracker init (vddp.py:1430-1442 logs via the rank0
+        # accelerator; every host opening its own run would fork the stream)
+        if trainer_cfg.log and jax.process_index() == 0:
             try:
                 import wandb  # optional (§5.5)
                 self._wandb = wandb
@@ -275,9 +292,11 @@ class Trainer:
                     "%H:%M:%S", time.gmtime(time.time() - start_time))
                 print(f"current step: {step}, total time elapsed: {elapsed}")
                 t0 = time.time()
+                # checkpoint BEFORE the (expensive, samplable) eval so a
+                # kill during milestone evaluation never loses the weights
+                self.save(step=step)
                 self.eval_network(num_samples=num_samples,
                                   num_preds=num_preds)
-                self.save(step=step)
                 print(f"time elapsed for validation: "
                       f"{time.strftime('%H:%M:%S', time.gmtime(time.time() - t0))}")
 
@@ -297,22 +316,9 @@ class Trainer:
         mode_dir = self.results_folder / "training" / f"step_{step}"
         (mode_dir / "gifs").mkdir(parents=True, exist_ok=True)
 
-        # full validation loss sweep (vddp.py:1695-1714), tail batch included
-        losses = []
-        rng = jax.random.PRNGKey(self.tcfg.seed + 1234)
-        n_val = len(self.ds_test)
-        bs = min(self.test_batch, n_val)
-        for i in range(0, n_val, bs):
-            v, c = self.ds_test.get_batch(np.arange(i, min(i + bs, n_val)))
-            # pad to a device-count multiple (sharding requires even split)
-            v, _ = pad_to_multiple(v, self.n_devices)
-            c, _ = pad_to_multiple(c, self.n_devices)
-            rng, sub = jax.random.split(rng)
-            losses.append(float(self._loss_fn(
-                self.state.params, sub,
-                jax.device_put(v, self._bsh), jax.device_put(c, self._bsh))))
-        val_loss = float(np.mean(losses)) if losses else float("nan")
+        val_loss = self.validation_loss()
         self._log({"step": step, "validation loss": val_loss})
+        n_val = len(self.ds_test)
 
         if num_samples > 0:
             rng_np = np.random.default_rng(self.tcfg.seed + step)
@@ -327,6 +333,29 @@ class Trainer:
                        num_frames=self.num_frames,
                        zero_u_2=self.ds.zero_u_2)
         return val_loss
+
+    def validation_loss(self) -> float:
+        """Full validation-set loss sweep (vddp.py:1695-1714): per-sample
+        losses with padded tail rows masked out, averaged with true
+        size-weighting (sum over real samples / number of real samples)."""
+        rng = jax.random.PRNGKey(self.tcfg.seed + 1234)
+        n_val = len(self.ds_test)
+        bs = min(self.test_batch, n_val) if n_val else 0
+        total, count = 0.0, 0
+        for i in range(0, n_val, bs if bs else 1):
+            v, c = self.ds_test.get_batch(np.arange(i, min(i + bs, n_val)))
+            n_real = v.shape[0]
+            # pad to a device-count multiple (sharding requires even split);
+            # padded rows are excluded from the mean below
+            v, _ = pad_to_multiple(v, self.n_devices)
+            c, _ = pad_to_multiple(c, self.n_devices)
+            rng, sub = jax.random.split(rng)
+            per_sample = np.asarray(self._loss_fn(
+                self.state.params, sub,
+                jax.device_put(v, self._bsh), jax.device_put(c, self._bsh)))
+            total += float(per_sample[:n_real].sum())
+            count += n_real
+        return total / count if count else float("nan")
 
     # ---------------------------------------------------------- target eval
     def eval_target(self, target_labels_dir: str | Path,
