@@ -1,74 +1,179 @@
 """Lagrangian -> Eulerian pixel remapping and frame cleanup (host-side).
 
-Re-design of src/utils.py:164-307: scatter pixel values by their displacement
-maps (horizontal wrap-around, vertical clamp), hole-filling smoothing, outlier
-artifact removal, and grid-GIF cropping. Scan-order/in-place semantics of the
-reference loops are preserved where they affect results (smoothing cascades)."""
+Re-design of src/utils.py:164-307. The reference walks every pixel in Python
+(O(F*N^2) np.mean calls, with in-place scan-order cascades); here the dense
+work is vectorized and only the pixels that can actually change are touched:
+
+  - `update_pixel_positions`  — the displacement scatter is one vectorized
+    gather/dedup per frame (last-write-wins in the reference's (x, y)
+    iteration order), instead of N^2 Python iterations;
+  - `smooth_frame`            — hole filling tracks the (shrinking) zero set
+    and evaluates only those pixels per Gauss-Seidel pass, in scan order, so
+    the fill cascade is bit-identical to the reference while skipping the
+    ~full-frame of solid pixels each pass;
+  - `remove_artifacts`        — outlier candidates are detected with one
+    vectorized neighbor-mean pass, then resolved through a scan-order
+    worklist that re-evaluates exactly (and enqueues the later neighbors of
+    every mutation), reproducing the reference's in-place cascade without
+    visiting non-candidate pixels;
+  - `convert_isolated_pixels_gif` — provably cascade-free (an isolated pixel
+    has no opaque neighbors, so clearing it cannot un-isolate anything),
+    hence one vectorized mask per frame.
+
+Numerical contract: every value written comes from the same np.mean(...) of
+the same neighbor list as the reference, so outputs are bit-identical (the
+oracle-parity suite pins this against the literal reference loops)."""
 
 from __future__ import annotations
+
+import heapq
 
 import numpy as np
 from PIL import Image, ImageSequence
 
 
+def _neighbor_sums_counts(a: np.ndarray):
+    """Sum and count of in-bounds 4-neighbors for every pixel, vectorized."""
+    s = np.zeros(a.shape, np.float64)
+    n = np.zeros(a.shape, np.float64)
+    af = a.astype(np.float64)
+    s[1:, :] += af[:-1, :]; n[1:, :] += 1          # up
+    s[:-1, :] += af[1:, :]; n[:-1, :] += 1         # down
+    s[:, 1:] += af[:, :-1]; n[:, 1:] += 1          # left
+    s[:, :-1] += af[:, 1:]; n[:, :-1] += 1         # right
+    return s, n
+
+
+def _neighbor_list(image: np.ndarray, i: int, j: int):
+    """Reference neighbor order: up, down, left, right (src/utils.py:203-210
+    and 231-238)."""
+    pixels = len(image)
+    neighbors = []
+    if i > 0:
+        neighbors.append(image[i - 1, j])
+    if i < pixels - 1:
+        neighbors.append(image[i + 1, j])
+    if j > 0:
+        neighbors.append(image[i, j - 1])
+    if j < pixels - 1:
+        neighbors.append(image[i, j + 1])
+    return neighbors
+
+
 def remove_artifacts(image: np.ndarray, threshold: float = 10,
                      check_isolated_pixels: bool = False) -> np.ndarray:
     """Replace pixels that deviate strongly from their 4-neighbor mean
-    (src/utils.py:198-222). Mutates and returns `image`."""
+    (src/utils.py:198-222). Mutates and returns `image`.
+
+    One vectorized pass finds every candidate outlier; a scan-order worklist
+    then applies the reference's single in-place sweep exactly: each popped
+    pixel is re-judged against the CURRENT image, and every mutation enqueues
+    its scan-later neighbors (the only pixels whose outcome a mutation can
+    change)."""
     pixels = len(image)
-    for i in range(pixels):
-        for j in range(pixels):
-            neighbors = []
-            if i > 0:
-                neighbors.append(image[i - 1, j])
-            if i < pixels - 1:
-                neighbors.append(image[i + 1, j])
-            if j > 0:
-                neighbors.append(image[i, j - 1])
-            if j < pixels - 1:
-                neighbors.append(image[i, j + 1])
-            if check_isolated_pixels:
-                avg_abs = np.mean(np.abs(neighbors))
-                if np.abs(avg_abs - image[i, j]) > threshold \
-                        and avg_abs < 1e-6:
-                    image[i, j] = avg_abs
-            else:
-                if len(neighbors) == 4:
-                    avg = np.mean(neighbors)
-                    if np.abs(avg - image[i, j]) > threshold:
-                        image[i, j] = avg
+    s, n = _neighbor_sums_counts(image)
+    img_f = image.astype(np.float64)
+    if check_isolated_pixels:
+        # mean of |neighbors|; image values are nonnegative in this mode's
+        # uses, but take abs to match the reference formula
+        sa, _ = _neighbor_sums_counts(np.abs(image))
+        avg = sa / n
+        cand = (np.abs(avg - img_f) > threshold) & (avg < 1e-6)
+    else:
+        avg = s / n
+        cand = (n == 4) & (np.abs(avg - img_f) > threshold)
+
+    heap = [(i, j) for i, j in zip(*np.nonzero(cand))]
+    heapq.heapify(heap)
+    done = set()
+    while heap:
+        i, j = heapq.heappop(heap)
+        if (i, j) in done:
+            continue
+        done.add((i, j))
+        neighbors = _neighbor_list(image, i, j)
+        mutated = False
+        if check_isolated_pixels:
+            avg_abs = np.mean(np.abs(neighbors))
+            if np.abs(avg_abs - image[i, j]) > threshold and avg_abs < 1e-6:
+                image[i, j] = avg_abs
+                mutated = True
+        else:
+            if len(neighbors) == 4:
+                avg1 = np.mean(neighbors)
+                if np.abs(avg1 - image[i, j]) > threshold:
+                    image[i, j] = avg1
+                    mutated = True
+        if mutated:
+            # a mutation can only change the judgment of pixels the sweep has
+            # not reached yet: the right and down neighbors
+            if j + 1 < pixels and (i, j + 1) not in done:
+                heapq.heappush(heap, (i, j + 1))
+            if i + 1 < pixels and (i + 1, j) not in done:
+                heapq.heappush(heap, (i + 1, j))
     return image
 
 
 def smooth_frame(frame: np.ndarray, neighbors_required: int = 3,
                  recursive: bool = True) -> np.ndarray:
     """Fill zero pixels from >=3 nonzero neighbors until stable
-    (src/utils.py:224-253), then remove outliers."""
+    (src/utils.py:224-253), then remove outliers.
+
+    The reference rescans the full frame per pass with numpy-scalar
+    arithmetic; since only zero pixels can ever change and the zero set only
+    shrinks, each Gauss-Seidel pass here walks just the remaining zeros in
+    scan order over a plain Python grid (C-double arithmetic == np.mean's
+    sequential sum for <8 elements), so the fill order and every filled
+    value are bit-identical at a fraction of the per-pixel cost."""
+    if frame.dtype != np.float64:
+        # every real caller passes float64 (update_pixel_positions allocates
+        # the scatter target as float64); narrower inputs are promoted for
+        # the fill and cast back once at the end
+        out64 = smooth_frame(frame.astype(np.float64), neighbors_required,
+                             recursive)
+        return out64.astype(frame.dtype)
     pixels = len(frame)
-    out = frame.copy()
+    grid = frame.tolist()
+    zeros = [(int(i), int(j)) for i, j in zip(*np.nonzero(
+        np.asarray(grid) == 0.0))]
     update = True
     while update:
         update = False
-        for i in range(pixels):
-            for j in range(pixels):
-                if out[i, j] == 0:
-                    neighbors = []
-                    if i > 0:
-                        neighbors.append(out[i - 1, j])
-                    if i < pixels - 1:
-                        neighbors.append(out[i + 1, j])
-                    if j > 0:
-                        neighbors.append(out[i, j - 1])
-                    if j < pixels - 1:
-                        neighbors.append(out[i, j + 1])
-                    nz = [v for v in neighbors if v != 0]
-                    if len(nz) >= neighbors_required:
-                        avg = np.mean(nz)
-                        if avg != out[i, j]:
-                            update = True
-                            out[i, j] = avg
+        still_zero = []
+        for (i, j) in zeros:
+            nz_sum = 0.0
+            nz_cnt = 0
+            if i > 0:
+                v = grid[i - 1][j]
+                if v != 0.0:
+                    nz_sum += v; nz_cnt += 1
+            if i < pixels - 1:
+                v = grid[i + 1][j]
+                if v != 0.0:
+                    nz_sum += v; nz_cnt += 1
+            if j > 0:
+                v = grid[i][j - 1]
+                if v != 0.0:
+                    nz_sum += v; nz_cnt += 1
+            if j < pixels - 1:
+                v = grid[i][j + 1]
+                if v != 0.0:
+                    nz_sum += v; nz_cnt += 1
+            if nz_cnt >= neighbors_required:
+                avg = nz_sum / nz_cnt
+                if avg != grid[i][j]:
+                    update = True
+                    grid[i][j] = avg
+                if grid[i][j] == 0.0:
+                    still_zero.append((i, j))
+            else:
+                still_zero.append((i, j))
+        zeros = still_zero
         if not recursive:
             break
+    out = np.asarray(grid, dtype=np.float64)
+    if frame.dtype != np.float64:
+        out = out.astype(frame.dtype)
     return remove_artifacts(out)
 
 
@@ -76,47 +181,55 @@ def update_pixel_positions(shift_x: np.ndarray, shift_y: np.ndarray,
                            pixel_values: np.ndarray,
                            bin_data: np.ndarray) -> np.ndarray:
     """Scatter Lagrangian pixel values to Eulerian positions per frame:
-    x wraps periodically, y clamps to the frame (src/utils.py:255-270)."""
+    x wraps periodically, y clamps to the frame (src/utils.py:255-270).
+
+    Vectorized: target coordinates for the whole frame at once; colliding
+    targets keep the value of the LAST source pixel in the reference's
+    (x outer, y inner) iteration order, enforced by an explicit dedup."""
     frames, pixels, _ = shift_x.shape
     result = np.zeros((frames, pixels, pixels))
+    # iteration order of the reference: x_l outer, y_l inner -> the linear
+    # iteration index of source (y, x) is x * pixels + y
+    ys, xs = np.mgrid[:pixels, :pixels]
+    order = (xs * pixels + ys).ravel()
+    sort_idx = np.argsort(order, kind="stable")
     for f in range(frames):
-        for x_l in range(pixels):
-            for y_l in range(pixels):
-                x_e = (x_l + shift_x[f, y_l, x_l]) % pixels
-                y_e = y_l - shift_y[f, y_l, x_l]
-                if 0 <= y_e < pixels and bin_data[f, y_l, x_l] != 0:
-                    result[f, int(y_e), int(x_e)] = pixel_values[f, y_l, x_l]
-        result[f] = smooth_frame(result[f])
+        x_e = (xs + shift_x[f]) % pixels
+        y_e = ys - shift_y[f]
+        valid = (y_e >= 0) & (y_e < pixels) & (bin_data[f] != 0)
+        targets = (y_e.astype(np.int64) * pixels + x_e.astype(np.int64)) \
+            .ravel()[sort_idx]
+        vals = pixel_values[f].ravel()[sort_idx]
+        keep = valid.ravel()[sort_idx]
+        targets, vals = targets[keep], vals[keep]
+        # last write wins: reverse, keep first occurrence of each target
+        _, first = np.unique(targets[::-1], return_index=True)
+        flat = result[f].ravel()
+        flat[targets[::-1][first]] = vals[::-1][first]
+        result[f] = smooth_frame(flat.reshape(pixels, pixels))
     return result
 
 
 def convert_isolated_pixels_gif(gif_path: str) -> None:
     """Make isolated (all-transparent-neighbor) pixels transparent in an RGBA
-    GIF (src/utils.py:164-196)."""
+    GIF (src/utils.py:164-196). Cascade-free by construction — an isolated
+    pixel has no opaque neighbor, so clearing it cannot isolate another pixel
+    — hence a single vectorized mask per frame."""
     import imageio
 
     img = Image.open(gif_path)
     frames = []
-    offsets = [(-1, 0), (1, 0), (0, -1), (0, 1)]
     for frame in ImageSequence.Iterator(img):
         frame = frame.convert("RGBA")
-        data = frame.load()
-        width, height = frame.size
-        for y in range(height):
-            for x in range(width):
-                r, g, b, a = data[x, y]
-                if a == 0:
-                    continue
-                isolated = True
-                for dx, dy in offsets:
-                    nx_, ny_ = x + dx, y + dy
-                    if 0 <= nx_ < width and 0 <= ny_ < height:
-                        if data[nx_, ny_][3] != 0:
-                            isolated = False
-                            break
-                if isolated:
-                    data[x, y] = (r, g, b, 0)
-        frames.append(frame)
+        arr = np.asarray(frame).copy()                 # (H, W, 4)
+        opaque = arr[:, :, 3] != 0
+        has_opaque_neighbor = np.zeros_like(opaque)
+        has_opaque_neighbor[1:, :] |= opaque[:-1, :]
+        has_opaque_neighbor[:-1, :] |= opaque[1:, :]
+        has_opaque_neighbor[:, 1:] |= opaque[:, :-1]
+        has_opaque_neighbor[:, :-1] |= opaque[:, 1:]
+        arr[opaque & ~has_opaque_neighbor, 3] = 0
+        frames.append(Image.fromarray(arr, "RGBA"))
     imageio.v3.imwrite(gif_path, frames, plugin="pillow", mode="RGBA",
                        duration=200, loop=0, disposal=2, quantize=256)
 

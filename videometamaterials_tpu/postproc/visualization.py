@@ -1,11 +1,21 @@
 """Publication-style rendering of predicted/FEM deformation videos.
 
-Re-design of create_visualization (src/utils.py:309-486): reconstruct the
-topology from near-zero u2 pixels, estimate the stress-strain response from
-the pixel fields (nominal-stress correction and linear zero-shift), and write
-jet-colormapped RGBA GIFs (Lagrangian and remapped-Eulerian), a compression
-mask, the estimated curve CSV, and a colorbar legend PNG — same files, same
-directory layout (<path>/visualization_<row>-<col>/)."""
+Re-design of create_visualization (src/utils.py:309-486), restructured into
+reusable stages instead of the reference's single 180-line function:
+
+  - `reconstruct_topology`     — solid mask from near-zero-u2 pixels
+  - `load_cell_fields`         — crop + physical unnormalization per channel
+  - `estimate_stress_strain`   — pixel-estimated response curve (vectorized;
+                                 the quality-metric path needs no rendering)
+  - `render_rgba_gif`          — jet-colormapped RGBA frames (+ compression
+                                 mask) in one vectorized pass
+  - `create_visualization`     — orchestrates the above; same files, same
+                                 directory layout (<path>/visualization_
+                                 <row>-<col>/) as the reference
+
+Output artifacts are byte-compatible with the reference pipeline; the
+per-frame Python loops of src/utils.py:396-486 are replaced by whole-video
+array ops."""
 
 from __future__ import annotations
 
@@ -29,142 +39,218 @@ def _unnorm(arr, lo, hi):
     return arr * (hi - lo) + lo
 
 
-def create_visualization(path: str, frame_ranges: str, row: int, col: int,
-                         ref_frame: str, atol: float = 0.02,
-                         disp_compression: bool = True) -> str:
+def strain_schedule(num_frames: int, strain: float = 0.2) -> np.ndarray:
+    """Per-frame strain values: linspace with the 1%-of-strain first eval
+    point (vddp.py:1260-1269 / src/utils.py:393-394)."""
+    s = np.linspace(0.0, strain, num=num_frames)
+    s[0] = 0.01 * strain
+    return s
+
+
+def load_frame_ranges(frame_ranges: str, ref_frame: str):
+    """Read frame_range_data.csv / frame_range.csv and reduce to the global
+    ranges the fields were normalized with (src/utils.py:318-339).
+    Returns (u_ranges | None, (s22_min, s22_max)); u_ranges =
+    (min_u_1, max_u_1, min_u_2, max_u_2) in the lagrangian frame."""
+    fr = np.genfromtxt(frame_ranges, delimiter=",")
+    if fr.ndim == 1:
+        fr = fr[None, :]
+    fr = fr[~np.isnan(fr).any(axis=1)]
+    u_ranges = None
+    if ref_frame == "lagrangian":
+        u_ranges = (fr[:, 0].min(), fr[:, 1].max(),
+                    fr[:, 2].min(), fr[:, 3].max())
+        fr = fr[:, -4:]
+    return u_ranges, (np.min(fr[:, 1]), np.max(fr[:, 2]))
+
+
+def reconstruct_topology(u2_uint8: np.ndarray, min_u_2: float,
+                         max_u_2: float, atol: float = 0.02) -> np.ndarray:
+    """Solid mask from the u2 channel: a pixel is solid iff its normalized u2
+    differs from the normalized physical zero in ANY frame; evaluated on the
+    upper-left quarter and 2-fold mirrored (src/utils.py:341-351 /
+    vddp.py:1898-1911)."""
+    zero_u_2 = _norm(np.zeros(1), min_u_2, max_u_2)
+    pixels = u2_uint8.shape[-1]
+    u2_red = _norm(u2_uint8[:, :pixels // 2, :pixels // 2], 0, 255)
+    close = np.isclose(u2_red, zero_u_2, atol=atol)
+    topology = np.logical_not(np.all(close, axis=0)).astype(float)
+    topology = np.concatenate([topology, np.flip(topology, axis=0)], axis=0)
+    return np.concatenate([topology, np.flip(topology, axis=1)], axis=1)
+
+
+def estimate_stress_strain(pred_phys: np.ndarray,
+                           ref_frame: str) -> tuple[np.ndarray, np.ndarray]:
+    """Pixel-estimated stress-strain curve from the physical s22 field
+    (src/utils.py:396-410): mean sigma_22 per frame with the nominal-stress
+    correction 1/(1-eps) (lagrangian) or the compressed-window mean
+    (eulerian), then the linear zero-shift through the first two points.
+    pred_phys: (F, H, W) physical s22 with void pixels already zeroed."""
+    frames = len(pred_phys)
+    strain_list = strain_schedule(frames)
+    if ref_frame == "eulerian":
+        curve = np.empty(frames)
+        for i in range(frames):
+            top_row = int(np.floor((1.0 - strain_list[i])
+                                   * pred_phys.shape[-1]))
+            curve[i] = -np.mean(pred_phys[i, -top_row:, :])
+    else:
+        curve = -pred_phys.mean(axis=(1, 2)) / (1.0 - strain_list)
+    shift = curve[0] - ((curve[1] - curve[0])
+                        / (strain_list[1] - strain_list[0])) * strain_list[0]
+    return strain_list, curve - shift
+
+
+def load_cell_fields(path: str, frame_ranges: str, row: int, col: int,
+                     ref_frame: str, atol: float = 0.02):
+    """Crop one grid cell's channels and return physical-space fields:
+    dict with 's22' (void-zeroed physical sigma_22), 'mask' (F,H,W solid),
+    's22_range' (global min/max), and — lagrangian — integer pixel shift
+    maps 'shift_x'/'shift_y' for the Eulerian remap."""
+    s_22_idx = 2 if ref_frame == "eulerian" else 3
+    u_ranges, (s22_min, s22_max) = load_frame_ranges(frame_ranges, ref_frame)
+
+    pred = crop_gif(path + f"prediction_channel_{s_22_idx}.gif", row, col,
+                    save=False)
+    out = {"s22_range": (s22_min, s22_max)}
+    if ref_frame == "eulerian":
+        mask255 = crop_gif(path + "prediction_channel_0.gif", row, col,
+                           save=False)
+        mask = (mask255 >= 255 / 2)
+        out["mask255"] = mask255
+    else:
+        min_u_1, max_u_1, min_u_2, max_u_2 = u_ranges
+        u1_uint8 = crop_gif(path + "prediction_channel_0.gif", row, col,
+                            save=False)
+        u2_uint8 = crop_gif(path + "prediction_channel_1.gif", row, col,
+                            save=False)
+        topo = reconstruct_topology(u2_uint8, min_u_2, max_u_2, atol)
+        mask = np.repeat(topo[None].astype(bool), len(u2_uint8), axis=0)
+        u_1 = _unnorm(_norm(u1_uint8, 0, 255), min_u_1, max_u_1)
+        u_2 = _unnorm(_norm(u2_uint8, 0, 255), min_u_2, max_u_2)
+        out["shift_x"] = np.round(u_1 * 96).astype(int)
+        out["shift_y"] = np.round(u_2 * 96).astype(int)
+    pred = _unnorm(_norm(pred, 0.0, 255.0), s22_min, s22_max)
+    pred[~mask] = 0
+    out["s22"] = pred
+    out["mask"] = mask
+    return out
+
+
+def quantize_levels(field_phys: np.ndarray, lo: float, hi: float,
+                    zero_mask: np.ndarray | None = None) -> np.ndarray:
+    """Map a physical field to uint8 colormap levels over [lo, hi]
+    (src/utils.py:429-434), zeroing `zero_mask` pixels AFTER quantization
+    exactly as the reference does."""
+    level = np.round(_unnorm(_norm(field_phys, lo, hi), 0.0, 255.0)) \
+        .astype(np.uint8)
+    if zero_mask is not None:
+        level[zero_mask] = 0
+    return level
+
+
+def render_rgba_gif(levels: np.ndarray, transparent_mask: np.ndarray,
+                    out_path: str,
+                    compression_box: np.ndarray | None = None) -> None:
+    """Jet-colormap (F, H, W) uint8 levels to an RGBA GIF, make
+    `transparent_mask` pixels transparent, optionally paint the per-frame
+    gray compression box over the top `compression_box[f]` rows
+    (src/utils.py:436-466) — one vectorized pass over the whole video."""
     import imageio
     import matplotlib.pyplot as plt
 
-    s_22_idx = 2 if ref_frame == "eulerian" else 3
+    cmap = plt.get_cmap("jet")
+    color = (cmap(levels) * 255).astype(np.uint8)
+    color[transparent_mask, 3] = 0
+    if compression_box is not None:
+        gray = np.array([227, 227, 227, 255], np.uint8)
+        rows = np.arange(color.shape[1])
+        box = rows[None, :] < compression_box[:, None]        # (F, H)
+        color[box] = gray
+    imageio.v3.imwrite(out_path, list(color), plugin="pillow", mode="RGBA",
+                       duration=200, loop=0, disposal=2, quantize=256)
 
-    fr = np.genfromtxt(frame_ranges, delimiter=",")
-    fr = fr[~np.isnan(fr).any(axis=1)] if fr.ndim > 1 else fr[None, :]
-    if fr.ndim == 1:
-        fr = fr[None, :]
 
-    if ref_frame == "lagrangian":
-        min_u_1, max_u_1 = fr[:, 0].min(), fr[:, 1].max()
-        min_u_2, max_u_2 = fr[:, 2].min(), fr[:, 3].max()
-        fr = fr[:, -4:]
-
-    if ref_frame == "eulerian":
-        data_pred_bin = crop_gif(path + "prediction_channel_0.gif", row, col,
-                                 save=False)
-    else:
-        zero_u_2 = _norm(np.zeros(1), min_u_2, max_u_2)
-        data_u_1 = crop_gif(path + "prediction_channel_0.gif", row, col,
-                            save=False)
-        data_u_2 = crop_gif(path + "prediction_channel_1.gif", row, col,
-                            save=False)
-        pixels = data_u_2.shape[-1]
-        u2_red = _norm(data_u_2[:, :pixels // 2, :pixels // 2].copy(), 0, 255)
-        close = np.isclose(u2_red, zero_u_2, atol=atol)
-        topology = np.logical_not(np.all(close, axis=0)).astype(float)
-        topology = np.concatenate([topology, np.flip(topology, axis=0)],
-                                  axis=0)
-        data_pred_bin = np.concatenate([topology, np.flip(topology, axis=1)],
-                                       axis=1)
-        data_pred_bin = np.repeat(data_pred_bin[None], data_u_2.shape[0],
-                                  axis=0)
-        data_u_1 = _unnorm(_norm(data_u_1, 0, 255), min_u_1, max_u_1)
-        data_u_2 = _unnorm(_norm(data_u_2, 0, 255), min_u_2, max_u_2)
-        data_u_1 = np.round(data_u_1 * 96).astype(int)
-        data_u_2 = np.round(data_u_2 * 96).astype(int)
-
-    data_min = np.min(fr[:, 1])
-    data_max = np.max(fr[:, 2])
-
-    data_pred = crop_gif(path + f"prediction_channel_{s_22_idx}.gif", row,
-                         col, save=False)
-
-    save_path = path + f"visualization_{row}-{col}/"
-    os.makedirs(save_path, exist_ok=True)
-
-    strain = 0.2
-    strain_list = np.linspace(0.0, strain, num=len(data_pred))
-    strain_list[0] = 0.01 * strain
-
-    data_pred = _unnorm(_norm(data_pred, 0.0, 255.0), data_min, data_max)
-
-    if ref_frame == "eulerian":
-        data_pred[data_pred_bin < 255 / 2] = 0
-    else:
-        data_pred[data_pred_bin == 0] = 0
-        bin_euler = update_pixel_positions(data_u_1, data_u_2, data_pred_bin,
-                                           data_pred_bin)
-        pred_euler = update_pixel_positions(data_u_1, data_u_2, data_pred,
-                                            data_pred_bin)
-        pred_euler[bin_euler == 0] = 0
-
-    # pixel-estimated stress-strain curve (src/utils.py:396-410)
-    curve = np.zeros(len(data_pred))
-    for i in range(len(data_pred)):
-        if ref_frame == "eulerian":
-            top_row = int(np.floor((1.0 - strain_list[i])
-                                   * data_pred.shape[-1]))
-            curve[i] = -np.mean(data_pred[i, -top_row:, :])
-        else:
-            curve[i] = -np.mean(data_pred[i]) / (1.0 - strain_list[i])
-    shift = curve[0] - ((curve[1] - curve[0])
-                        / (strain_list[1] - strain_list[0])) * strain_list[0]
-    curve_shifted = curve - shift
-    np.savetxt(save_path + "stress_strain_estimate.csv",
-               np.stack([strain_list, curve_shifted], axis=1), delimiter=",",
-               header="strain,pred_pixel_shifted", comments="")
-
-    # symmetric colormap range
-    data_max = max(abs(data_min), abs(data_max))
-    data_min = -data_max
-    data_pred = np.round(_unnorm(_norm(data_pred, data_min, data_max),
-                                 0.0, 255.0)).astype(np.uint8)
-    if ref_frame == "lagrangian":
-        pred_euler = np.round(_unnorm(_norm(pred_euler, data_min, data_max),
-                                      0.0, 255.0)).astype(np.uint8)
-
-    if ref_frame == "eulerian":
-        data_pred[data_pred_bin < 255 / 2] = 0
-    else:
-        data_pred[data_pred_bin == 0] = 0
+def _write_legend(save_path: str, lo: float, hi: float) -> None:
+    import matplotlib.pyplot as plt
 
     cmap = plt.get_cmap("jet")
-    color = (cmap(data_pred) * 255).astype(np.uint8)
-    color[data_pred_bin == 0, 3] = 0
-
-    gray = np.array([227, 227, 227, 255], np.uint8)
-    if ref_frame == "eulerian" and disp_compression:
-        for f in range(len(color)):
-            box_end = round(strain_list[f] * color[f].shape[0])
-            color[f, :box_end, :, :] = gray
-
-    imageio.v3.imwrite(save_path + "visualization.gif", list(color),
-                       plugin="pillow", mode="RGBA", duration=200, loop=0,
-                       disposal=2, quantize=256)
-
-    if ref_frame == "lagrangian":
-        pred_euler[bin_euler == 0] = 0
-        for f in range(len(pred_euler)):
-            pred_euler[f] = remove_artifacts(pred_euler[f],
-                                             check_isolated_pixels=True)
-        color_e = (cmap(pred_euler) * 255).astype(np.uint8)
-        color_e[bin_euler == 0, 3] = 0
-        if disp_compression:
-            for f in range(len(color_e)):
-                box_end = round(strain_list[f] * color_e[f].shape[0])
-                color_e[f, :box_end, :, :] = gray
-        euler_path = save_path + "visualization_conv_euler.gif"
-        imageio.v3.imwrite(euler_path, list(color_e), plugin="pillow",
-                           mode="RGBA", duration=200, loop=0, disposal=2,
-                           quantize=256)
-        convert_isolated_pixels_gif(euler_path)
-
-    # colorbar legend
     fig, ax = plt.subplots(figsize=(1, 30))
     fig.subplots_adjust(bottom=0.5)
-    norm = plt.Normalize(data_min, data_max)
+    norm = plt.Normalize(lo, hi)
     cb = plt.colorbar(plt.cm.ScalarMappable(norm=norm, cmap=cmap), cax=ax,
                       orientation="vertical")
     cb.set_label(r"$\sigma_{22}$", rotation=0, labelpad=15, fontsize=30)
     cb.ax.tick_params(labelsize=20)
     fig.savefig(save_path + "visualization_legend.png", bbox_inches="tight")
     plt.close(fig)
+
+
+def create_visualization(path: str, frame_ranges: str, row: int, col: int,
+                         ref_frame: str, atol: float = 0.02,
+                         disp_compression: bool = True) -> str:
+    """Full artifact set for one grid cell: estimated-curve CSV, Lagrangian
+    RGBA GIF, remapped-Eulerian RGBA GIF (lagrangian frame only), legend
+    PNG. Same outputs as src/utils.py:309-486."""
+    fields = load_cell_fields(path, frame_ranges, row, col, ref_frame, atol)
+    save_path = path + f"visualization_{row}-{col}/"
+    os.makedirs(save_path, exist_ok=True)
+
+    strain_list, curve = estimate_stress_strain(fields["s22"], ref_frame)
+    np.savetxt(save_path + "stress_strain_estimate.csv",
+               np.stack([strain_list, curve], axis=1), delimiter=",",
+               header="strain,pred_pixel_shifted", comments="")
+
+    # Eulerian remap happens in PHYSICAL space, before quantization
+    # (src/utils.py:370-380)
+    if ref_frame == "lagrangian":
+        bin_l = fields["mask"].astype(float)
+        bin_euler = update_pixel_positions(fields["shift_x"],
+                                           fields["shift_y"], bin_l, bin_l)
+        pred_euler = update_pixel_positions(fields["shift_x"],
+                                            fields["shift_y"],
+                                            fields["s22"], bin_l)
+        pred_euler[bin_euler == 0] = 0
+
+    # symmetric colormap range around the global |s22| extreme
+    lo, hi = fields["s22_range"]
+    hi = max(abs(lo), abs(hi))
+    lo = -hi
+
+    if ref_frame == "eulerian":
+        level = quantize_levels(fields["s22"], lo, hi,
+                                zero_mask=~fields["mask"])
+        # transparency only where the mask channel is exactly 0
+        # (src/utils.py:466: == 0, not the <127.5 zeroing threshold)
+        box = None
+        if disp_compression:
+            box = np.asarray([round(s * level.shape[1])
+                              for s in strain_list])
+        render_rgba_gif(level, fields["mask255"] == 0,
+                        save_path + "visualization.gif",
+                        compression_box=box)
+    else:
+        level = quantize_levels(fields["s22"], lo, hi,
+                                zero_mask=~fields["mask"])
+        render_rgba_gif(level, ~fields["mask"],
+                        save_path + "visualization.gif")
+
+        # quantize, void-zero, THEN de-artifact on uint8 levels
+        # (src/utils.py:420-427 order; the isolated-pixel pass compares
+        # against exact-zero neighbor means)
+        level_e = quantize_levels(pred_euler, lo, hi,
+                                  zero_mask=(bin_euler == 0))
+        for f in range(len(level_e)):
+            level_e[f] = remove_artifacts(level_e[f],
+                                          check_isolated_pixels=True)
+        box_e = None
+        if disp_compression:
+            box_e = np.asarray([round(s * level_e.shape[1])
+                                for s in strain_list])
+        euler_path = save_path + "visualization_conv_euler.gif"
+        render_rgba_gif(level_e, bin_euler == 0, euler_path,
+                        compression_box=box_e)
+        convert_isolated_pixels_gif(euler_path)
+
+    _write_legend(save_path, lo, hi)
     return save_path
