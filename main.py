@@ -58,6 +58,8 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--no-log", action="store_true")
     p.add_argument("--skip-train", action="store_true")
+    p.add_argument("--skip-eval-target", action="store_true",
+                   help="stop after training (for chained resume runs)")
     p.add_argument("--profile-dir", default=None,
                    help="write a jax.profiler trace of a 3-step window")
     p.add_argument("--torch-checkpoint", default=None,
@@ -103,8 +105,10 @@ def main(argv=None):
                       num_samples=args.num_samples, num_preds=args.num_preds)
     elif args.load_model_step is not None:
         trainer.load(args.load_model_step)
-    trainer.eval_target(target_labels, guidance_scale=args.guidance_scale,
-                        num_preds=args.num_preds)
+    if not args.skip_eval_target:
+        trainer.eval_target(target_labels,
+                            guidance_scale=args.guidance_scale,
+                            num_preds=args.num_preds)
     return 0
 
 
