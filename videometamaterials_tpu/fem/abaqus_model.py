@@ -102,20 +102,8 @@ m = mdb.models[MODEL]  # noqa: F821
 
 # 11 field frames / 52 history points in smooth-step pseudo-time; first frame
 # at 1% strain, consistent with the training label convention
-# (abaqus_script.py:577-591)
-FIELD_TIME_POINTS = (
-    (0.1049,), (0.24473,), (0.32388,), (0.38634,), (0.44196,), (0.49477,),
-    (0.54734,), (0.60215,), (0.66277,), (0.73705,), (0.86569,))
-HISTORY_TIME_POINTS = (
-    (0.0,), (0.13431,), (0.17291,), (0.20117,), (0.22446,), (0.24473,),
-    (0.26295,), (0.27968,), (0.29526,), (0.30994,), (0.32388,), (0.33723,),
-    (0.35008,), (0.36251,), (0.37458,), (0.38634,), (0.39785,), (0.40913,),
-    (0.42023,), (0.43116,), (0.44196,), (0.45266,), (0.46327,), (0.47381,),
-    (0.4843,), (0.49477,), (0.50523,), (0.5157,), (0.52619,), (0.53673,),
-    (0.54734,), (0.55804,), (0.56884,), (0.57977,), (0.59087,), (0.60215,),
-    (0.61366,), (0.62542,), (0.63749,), (0.64992,), (0.66277,), (0.67612,),
-    (0.69006,), (0.70474,), (0.72032,), (0.73705,), (0.75527,), (0.77554,),
-    (0.79883,), (0.82709,), (0.86569,), (1.0,))
+# (abaqus_script.py:577-591). Imported below (after sys.path setup) from
+# fem/timepoints.py, which the stub-execution test harness shares.
 
 # J2 plasticity of Jin et al. (doi:10.1073/pnas.1913228117);
 # abaqus_script.py:330-354
@@ -142,6 +130,10 @@ from videometamaterials_tpu.fem.part_geometry import (  # noqa: E402
     apply_bounding_box,
     mirror_periodic,
     sketch_plan,
+)
+from videometamaterials_tpu.fem.timepoints import (  # noqa: E402
+    FIELD_TIME_POINTS,
+    HISTORY_TIME_POINTS,
 )
 
 # -------------------------------------------------------------------- build
