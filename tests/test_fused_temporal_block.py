@@ -1,0 +1,129 @@
+"""Fused temporal-attention block kernel (ops/pallas/fused_temporal_block):
+interpret-mode parity with the XLA reference twin and with the module's
+temporal_xla path (itself pinned against the real reference torch model in
+test_reference_parity), plus the custom-VJP backward."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from videometamaterials_tpu.models.unet3d import TemporalAttentionBlock
+from videometamaterials_tpu.ops.pallas.fused_temporal_block import (
+    fused_temporal_block,
+    reference_temporal_block,
+)
+
+B, F, S, C = 2, 5, 256, 8      # S = 2 tiles of 128 -> exercises the grid
+HEADS, D = 4, 32               # hidden = 128 (lane-aligned)
+HD = HEADS * D
+
+
+def _rand(shape, seed, scale=1.0):
+    return (np.random.default_rng(seed).normal(size=shape) * scale
+            ).astype(np.float32)
+
+
+def _inputs(n_cond, bias=True):
+    x = jnp.asarray(_rand((B, F, S, C), 0), jnp.bfloat16)
+    gamma = jnp.asarray(_rand((C,), 1, 0.2) + 1.0)
+    w_all = jnp.asarray(_rand((F, C, 3 * HD), 2, 0.1), jnp.bfloat16)
+    w_out = jnp.asarray(_rand((HD, C), 3, 0.1), jnp.bfloat16)
+    if n_cond:
+        ek = jnp.asarray(_rand((B, n_cond, HD), 5, 0.5), jnp.bfloat16)
+        ev = jnp.asarray(_rand((B, n_cond, HD), 6, 0.5), jnp.bfloat16)
+    else:
+        ek = ev = None
+    bias_all = jnp.asarray(_rand((F, F + n_cond, HEADS), 7, 0.3)) if bias \
+        else jnp.zeros((F, F + n_cond, HEADS), jnp.float32)
+    return x, gamma, w_all, w_out, ek, ev, bias_all
+
+
+@pytest.mark.parametrize("n_cond", [0, F])
+def test_kernel_matches_xla_reference(n_cond):
+    args = _inputs(n_cond)
+    got = np.asarray(fused_temporal_block(*args, heads=HEADS, tile=128,
+                                          interpret=True), np.float32)
+    want = np.asarray(reference_temporal_block(*args, heads=HEADS),
+                      np.float32)
+    # bf16 inputs: products/projections agree; only summation order differs
+    np.testing.assert_allclose(got, want, rtol=3e-2, atol=3e-2)
+    assert not np.allclose(got, np.asarray(args[0], np.float32))
+
+
+def test_single_tile_matches_multi_tile():
+    args = _inputs(F)
+    a = np.asarray(fused_temporal_block(*args, heads=HEADS, tile=256,
+                                        interpret=True), np.float32)
+    b = np.asarray(fused_temporal_block(*args, heads=HEADS, tile=128,
+                                        interpret=True), np.float32)
+    np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-3)
+
+
+def test_backward_matches_reference():
+    args = _inputs(F)
+    x, gamma, w_all, w_out, ek, ev, bias_all = args
+
+    def loss_fused(x_, w_all_):
+        out = fused_temporal_block(x_, gamma, w_all_, w_out, ek, ev,
+                                   bias_all, heads=HEADS, tile=128,
+                                   interpret=True)
+        return jnp.sum(out.astype(jnp.float32) ** 2)
+
+    def loss_ref(x_, w_all_):
+        out = reference_temporal_block(x_, gamma, w_all_, w_out, ek, ev,
+                                       bias_all, heads=HEADS)
+        return jnp.sum(out.astype(jnp.float32) ** 2)
+
+    gx_f, gw_f = jax.grad(loss_fused, argnums=(0, 1))(x, w_all)
+    gx_r, gw_r = jax.grad(loss_ref, argnums=(0, 1))(x, w_all)
+    np.testing.assert_allclose(np.asarray(gx_f, np.float32),
+                               np.asarray(gx_r, np.float32),
+                               rtol=1e-1, atol=1e-1)
+    np.testing.assert_allclose(np.asarray(gw_f, np.float32),
+                               np.asarray(gw_r, np.float32),
+                               rtol=1e-1, atol=1e-1)
+
+
+@pytest.mark.parametrize("cond", ["self-stacked", "none"])
+def test_module_fused_path_matches_temporal_xla(cond, monkeypatch):
+    """TemporalAttentionBlock(use_fused_block=True) must agree with the
+    (torch-parity-pinned) temporal_xla plan on the SAME parameters,
+    including rotary folding, conditioning K/V and the relative position
+    bias slicing."""
+    monkeypatch.setenv("VMT_PALLAS_INTERPRET", "1")
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (B, F, 16, 16, C), jnp.bfloat16) * 0.5
+    label = jax.random.normal(rng, (B, F, 32), jnp.float32) * 0.5
+    pos_bias = jax.random.normal(rng, (HEADS, F, F), jnp.float32) * 0.3
+    kw = dict(dim=C, heads=HEADS, dim_head=D, use_rotary=True,
+              cond_attention=cond, cond_dim=32, per_frame_cond=True,
+              dtype=jnp.bfloat16)
+    block_x = TemporalAttentionBlock(**kw, use_fused_block=False)
+    block_f = TemporalAttentionBlock(**kw, use_fused_block=True)
+    params = block_x.init(rng, x, pos_bias=pos_bias,
+                          label_emb=label if cond != "none" else None)
+    want = block_x.apply(params, x, pos_bias=pos_bias,
+                         label_emb=label if cond != "none" else None)
+    got = block_f.apply(params, x, pos_bias=pos_bias,
+                        label_emb=label if cond != "none" else None)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want, np.float32),
+                               rtol=5e-2, atol=5e-2)
+
+
+def test_focus_present_falls_back_to_xla(monkeypatch):
+    monkeypatch.setenv("VMT_PALLAS_INTERPRET", "1")
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (B, F, 8, 8, C), jnp.bfloat16)
+    kw = dict(dim=C, heads=HEADS, dim_head=D, use_rotary=True,
+              cond_attention="none", cond_dim=32, per_frame_cond=True,
+              dtype=jnp.bfloat16)
+    block_f = TemporalAttentionBlock(**kw, use_fused_block=True)
+    params = block_f.init(rng, x)
+    mask = jnp.array([True, False])
+    out = block_f.apply(params, x, focus_present_mask=mask)
+    want = TemporalAttentionBlock(**kw, use_fused_block=False).apply(
+        params, x, focus_present_mask=mask)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(want, np.float32))

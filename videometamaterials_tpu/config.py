@@ -68,6 +68,9 @@ class ModelConfig:
                                               # linear-attention block on TPU:
                                               # False | 'level0' | 'all'/True
                                               # | int N (blocks with dim<=N)
+    use_fused_temporal_block: bool | str | int = False  # Pallas fused
+                                              # temporal-attention block
+                                              # (same tri-state form)
 
     @property
     def channels(self) -> int:

@@ -250,6 +250,76 @@ class Attention(nn.Module):
         out = out.transpose(0, 1, 3, 2, 4).reshape(b, s, n, hidden)
         return conv1x1(out, self.to_out_kernel)
 
+    def _folded_temporal_weights(self, f):
+        """Per-frame QKV weights with rotary and the 1/sqrt(d) q-scale
+        folded in (shared by the XLA fast path and the fused Pallas block).
+        Returns (w_all (f, c, 3*hidden), freqs)."""
+        c_in = self.dim
+        heads, dh = self.heads, self.dim_head
+        hidden = heads * dh
+        scale = dh ** -0.5
+        w_q, w_k, w_v = jnp.split(self.to_qkv_kernel, 3, axis=-1)
+        freqs = None
+        if self.use_rotary:
+            freqs_np = rotary_frequencies(f, min(32, dh))
+            freqs = jnp.asarray(freqs_np)
+            rot = jnp.asarray(rotary_head_matrices(freqs_np, dh))  # (f,d,d)
+            # reference rotates AFTER scaling q (vddp.py:492-496); both are
+            # linear so scale folds into the rotated q weights
+            w_qf = jnp.einsum("chd,fde->fche", w_q.reshape(c_in, heads, dh),
+                              rot * scale).reshape(f, c_in, hidden)
+            w_kf = jnp.einsum("chd,fde->fche", w_k.reshape(c_in, heads, dh),
+                              rot).reshape(f, c_in, hidden)
+            w_vf = jnp.broadcast_to(w_v[None], (f, c_in, hidden))
+        else:
+            w_qf = jnp.broadcast_to((w_q * scale)[None], (f, c_in, hidden))
+            w_kf = jnp.broadcast_to(w_k[None], (f, c_in, hidden))
+            w_vf = jnp.broadcast_to(w_v[None], (f, c_in, hidden))
+        # ONE projection pass: y is read once, not three times
+        w_all = jnp.concatenate([w_qf, w_kf, w_vf], axis=-1)
+        return w_all, freqs
+
+    def temporal_fused(self, x_bfsc, norm_gamma, pos_bias=None,
+                       label_emb=None, tile=None):
+        """Whole temporal attention block as ONE Pallas kernel
+        (ops/pallas/fused_temporal_block.py): QKV, scores, softmax and
+        weights never leave VMEM — removes the multi-GB HBM round trips the
+        XLA path pays at level-0 shapes (see the round-3 roofline in
+        BENCH_NOTES.md). Same math as temporal_xla; bf16 compute."""
+        from videometamaterials_tpu.ops.pallas.fused_temporal_block import (
+            fused_temporal_block,
+        )
+
+        b, f, s, c_in = x_bfsc.shape
+        heads = self.heads
+        w_all, freqs = self._folded_temporal_weights(f)
+
+        cond_used = self.cond_attention == "self-stacked" \
+            and label_emb is not None
+        ek = ev = None
+        t_tok = 0
+        if cond_used:
+            ek, ev = self._cond_kv(label_emb)             # (b, T, hidden)
+            if self.use_rotary and self.per_frame_cond:
+                ek = apply_rotary_heads(ek, freqs, heads)  # vddp.py:470-471
+            t_tok = ek.shape[1]
+
+        bias_all = jnp.zeros((f, f + t_tok, heads), jnp.float32)
+        if pos_bias is not None:
+            bias_v = pos_bias.astype(jnp.float32).transpose(1, 2, 0)
+            bias_all = bias_all.at[:, :f].set(bias_v)
+            if cond_used and self.per_frame_cond and t_tok == f:
+                # per-frame cond: bias also lands on the cond block
+                # (vddp.py:502-512)
+                bias_all = bias_all.at[:, f:].set(bias_v)
+
+        return fused_temporal_block(
+            x_bfsc, norm_gamma, w_all.astype(self.dtype),
+            self.to_out_kernel.astype(self.dtype),
+            None if ek is None else ek.astype(self.dtype),
+            None if ev is None else ev.astype(self.dtype),
+            bias_all, heads=heads, tile=tile)
+
     def temporal_xla(self, x_bfsc, norm_gamma, pos_bias=None,
                      focus_present_mask=None, label_emb=None):
         """Whole temporal attention block (LN + QKV + rotary + attention +
@@ -273,28 +343,8 @@ class Attention(nn.Module):
         b, f, s, c_in = x_bfsc.shape
         heads, dh = self.heads, self.dim_head
         hidden = heads * dh
-        scale = dh ** -0.5
         y = channel_layer_norm(x_bfsc, norm_gamma).astype(self.dtype)
-
-        w_q, w_k, w_v = jnp.split(self.to_qkv_kernel, 3, axis=-1)
-        freqs = None
-        if self.use_rotary:
-            freqs_np = rotary_frequencies(f, min(32, dh))
-            freqs = jnp.asarray(freqs_np)
-            rot = jnp.asarray(rotary_head_matrices(freqs_np, dh))  # (f,d,d)
-            # reference rotates AFTER scaling q (vddp.py:492-496); both are
-            # linear so scale folds into the rotated q weights
-            w_qf = jnp.einsum("chd,fde->fche", w_q.reshape(c_in, heads, dh),
-                              rot * scale).reshape(f, c_in, hidden)
-            w_kf = jnp.einsum("chd,fde->fche", w_k.reshape(c_in, heads, dh),
-                              rot).reshape(f, c_in, hidden)
-            w_vf = jnp.broadcast_to(w_v[None], (f, c_in, hidden))
-        else:
-            w_qf = jnp.broadcast_to((w_q * scale)[None], (f, c_in, hidden))
-            w_kf = jnp.broadcast_to(w_k[None], (f, c_in, hidden))
-            w_vf = jnp.broadcast_to(w_v[None], (f, c_in, hidden))
-        # ONE projection pass: y is read once, not three times
-        w_all = jnp.concatenate([w_qf, w_kf, w_vf], axis=-1)  # (f,c,3*hidden)
+        w_all, freqs = self._folded_temporal_weights(f)   # (f, c, 3*hidden)
         qkv = jnp.einsum("bfsc,fch->bfsh", y, w_all.astype(self.dtype))
         q, k, v = jnp.split(qkv, 3, axis=-1)
         q = q.reshape(b, f, s, heads, dh)
@@ -552,6 +602,11 @@ class TemporalAttentionBlock(nn.Module):
     cond_dim: int = 64
     per_frame_cond: bool = False
     dtype: jnp.dtype = jnp.float32
+    # Whole-block Pallas kernel (ops/pallas/fused_temporal_block.py):
+    # keeps QKV/scores/weights VMEM-resident (see the round-3 roofline in
+    # BENCH_NOTES.md). Falls back to temporal_xla for cross-attention or
+    # when a focus_present_mask is active.
+    use_fused_block: bool = False
 
     def _make_attn(self):
         return Attention(dim=self.dim, heads=self.heads,
@@ -572,9 +627,14 @@ class TemporalAttentionBlock(nn.Module):
             # optimized frames-major path: no transposes, rotary folded
             # into weights, cond K/V never materialized per position
             x4 = x.reshape(b, f, h * w, c)
-            out = attn.temporal_xla(x4, gamma, pos_bias=pos_bias,
-                                    focus_present_mask=focus_present_mask,
-                                    label_emb=label_emb)
+            if self.use_fused_block and focus_present_mask is None:
+                out = attn.temporal_fused(x4, gamma, pos_bias=pos_bias,
+                                          label_emb=label_emb)
+            else:
+                out = attn.temporal_xla(
+                    x4, gamma, pos_bias=pos_bias,
+                    focus_present_mask=focus_present_mask,
+                    label_emb=label_emb)
             return out.reshape(b, f, h, w, c)
         # generic fallback (cross-attention ablation)
         y = channel_layer_norm(x, gamma)
@@ -717,6 +777,9 @@ class UNet3D(nn.Module):
     # compile, which matters where kernel compiles are slow/flaky) |
     # int N (fuse blocks with dim <= N, e.g. 128 = levels 0+1).
     use_fused_linear_block: bool | str | int = False
+    # Same tri-state for the fused temporal-attention Pallas kernel
+    # (ops/pallas/fused_temporal_block.py).
+    use_fused_temporal_block: bool | str | int = False
 
     def _tri_state(self, flag, dim):
         """False | True/'all' (every level) | 'level0' (full-res blocks) |
@@ -758,7 +821,10 @@ class UNet3D(nn.Module):
             dim=dim, heads=self.attn_heads, dim_head=self.attn_dim_head,
             use_rotary=True, cond_attention=self._cond_attention,
             cond_dim=self._cond_dim, per_frame_cond=self.per_frame_cond,
-            dtype=self._dtype, name=name)
+            dtype=self._dtype,
+            use_fused_block=self._tri_state(self.use_fused_temporal_block,
+                                            dim),
+            name=name)
 
     def _spatial_linear_attn(self, dim, name):
         return SpatialLinearAttentionBlock(
@@ -954,4 +1020,6 @@ class UNet3D(nn.Module):
             compute_dtype=cfg.compute_dtype,
             use_fused_linear_block=getattr(
                 cfg, "use_fused_linear_block", False),
+            use_fused_temporal_block=getattr(
+                cfg, "use_fused_temporal_block", False),
         )

@@ -1,0 +1,285 @@
+"""Pallas TPU kernel: whole temporal-attention block, fused.
+
+One kernel computes, per (batch, spatial-tile) grid cell, the residual
+temporal attention block of the reference (vddp.py:396-535 wrapped in
+Residual(PreNorm(...))):
+
+    out = x + W_out @ softmax( (R_i W_q LN(x)_i)^T (R_j W_k LN(x)_j) + bias
+                               | cond block ) @ [v | ev]
+
+with rotary (R_f) and the 1/sqrt(d) scale pre-folded into per-frame QKV
+weights (ops/rotary.py) exactly as the XLA fast path (Attention.temporal_xla)
+does.
+
+Why this exists — the roofline (BENCH_NOTES.md round 3): at the flagship
+level-0 shape the XLA path materializes the 12x-channel-expanded QKV tensor
+(~2.5 GB at CFG batch 16) plus four score/weight tensors (~0.3 GB each) in
+HBM; the block is bandwidth-bound at several GB per call while the VPU math
+is ~10 ms. Keeping QKV/scores/weights VMEM-resident reduces HBM traffic to
+one read of x and one write of out (~0.2 GB).
+
+Mosaic design (the layout the round-2 attempts did NOT try — see the kernel
+ledger in BENCH_NOTES.md for the three losing formulations):
+  - every bulk tensor keeps the MERGED-HEADS width (hidden=256 or 3*hidden
+    lanes — full 128-lane utilization; round-2's losers worked at per-head
+    width 32);
+  - the per-head score reduction sum_d q*k is a (TS, hidden) elementwise
+    product followed by a constant BLOCK-DIAGONAL SELECTOR matmul
+    (hidden, heads) on the MXU — a segmented lane reduction without any
+    lane-group primitive;
+  - head->hidden broadcasts in the value accumulation use the transposed
+    selector (heads, hidden), again on the MXU;
+  - frames (11) and the token loop are fully unrolled Python; softmax
+    statistics stay in f32 registers; only x and out touch HBM.
+
+Backward: jax.custom_vjp with the backward taken from the numerically
+equivalent XLA reference (`reference_temporal_block`), so the block remains
+trainable while inference uses the kernel.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from videometamaterials_tpu.ops.norms import channel_layer_norm
+
+
+def _selector(hidden: int, heads: int, dtype):
+    """(hidden, heads) 0/1 block-diagonal: column h sums lanes of head h."""
+    d = hidden // heads
+    row = jax.lax.broadcasted_iota(jnp.int32, (hidden, heads), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (hidden, heads), 1)
+    return (row // d == col).astype(dtype)
+
+
+def _kernel(x_ref, gamma_ref, wall_ref, wout_ref, bias_ref, *refs,
+            f: int, heads: int, d: int, has_cond: bool, t_tok: int):
+    if has_cond:
+        ek_ref, ev_ref, out_ref = refs
+    else:
+        (out_ref,) = refs
+    hidden = heads * d
+    ts = x_ref.shape[2]
+    sel = _selector(hidden, heads, jnp.bfloat16)          # (hidden, heads)
+    expand = sel.T                                        # (heads, hidden)
+
+    def mm(a, b):
+        return jax.lax.dot_general(
+            a, b, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    gamma = gamma_ref[0]                                  # (1, C) f32 row
+
+    # ---- LN + per-frame folded QKV projection (rotary+scale in weights)
+    q, k, v = [], [], []
+    xs = []
+    for fi in range(f):
+        xf = x_ref[0, fi]                                 # (TS, C)
+        xs.append(xf)
+        x32 = xf.astype(jnp.float32)
+        mu = jnp.mean(x32, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(x32 - mu), axis=-1, keepdims=True)
+        y = ((x32 - mu) * jax.lax.rsqrt(var + 1e-5)
+             * gamma).astype(jnp.bfloat16)                # (TS, C)
+        qkv = mm(y, wall_ref[fi]).astype(jnp.bfloat16)    # (TS, 3*hidden)
+        q.append(qkv[:, :hidden])
+        k.append(qkv[:, hidden:2 * hidden])
+        v.append(qkv[:, 2 * hidden:])
+
+    ekh, evh = [], []
+    if has_cond:
+        for ti in range(t_tok):
+            ekh.append(ek_ref[0, ti].reshape(1, hidden))  # (1, hidden)
+            evh.append(ev_ref[0, ti].reshape(1, hidden))
+
+    bias = bias_ref[...]                                  # (F, F+T, heads)
+    w_out_mat = wout_ref[...]
+
+    # ---- per query frame: scores -> softmax -> values -> out-proj
+    for i in range(f):
+        q_i = q[i]
+        sims = []
+        for j in range(f):
+            prod = q_i * k[j]                             # (TS, hidden) bf16
+            sim = mm(prod, sel)                           # (TS, heads) f32
+            sims.append(sim + bias[i, j].reshape(1, heads))
+        if has_cond:
+            for ti in range(t_tok):
+                prod = q_i * ekh[ti].astype(jnp.bfloat16)
+                sim = mm(prod, sel)
+                sims.append(sim + bias[i, f + ti].reshape(1, heads))
+
+        m = sims[0]
+        for s_ in sims[1:]:
+            m = jnp.maximum(m, s_)
+        es = [jnp.exp(s_ - m) for s_ in sims]
+        z = es[0]
+        for e_ in es[1:]:
+            z = z + e_
+        inv_z = 1.0 / z
+
+        acc = jnp.zeros((ts, hidden), jnp.float32)
+        for j in range(f):
+            a = mm((es[j] * inv_z).astype(jnp.bfloat16),
+                   expand)                                # (TS, hidden) f32
+            acc = acc + a * v[j].astype(jnp.float32)
+        if has_cond:
+            for ti in range(t_tok):
+                a = mm((es[f + ti] * inv_z).astype(jnp.bfloat16), expand)
+                acc = acc + a * evh[ti].astype(jnp.float32)
+
+        out_f = mm(acc.astype(jnp.bfloat16), w_out_mat)   # (TS, C) f32
+        out_ref[0, i] = (xs[i].astype(jnp.float32)
+                         + out_f).astype(out_ref.dtype)
+
+
+def reference_temporal_block(x, gamma, w_all, w_out, ek, ev, bias_all, *,
+                             heads: int):
+    """Pure-XLA twin of the kernel math (the frames-major temporal_xla
+    formulation, models/unet3d.py): used as the custom-VJP backward and as
+    the parity oracle in tests.
+    x: (B, F, S, C); w_all: (F, C, 3*hidden) with rotary+scale folded;
+    ek/ev: (B, T, hidden) or None; bias_all: (F, F+T, heads) f32."""
+    b, f, s, c = x.shape
+    hidden = w_out.shape[0]
+    d = hidden // heads
+    dtype = w_all.dtype
+
+    y = channel_layer_norm(x, gamma).astype(dtype)
+    qkv = jnp.einsum("bfsc,fch->bfsh", y, w_all)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    q = q.reshape(b, f, s, heads, d)
+    k = k.reshape(b, f, s, heads, d)
+    v = v.reshape(b, f, s, heads, d)
+
+    sim_v = jnp.sum((q[:, :, None] * k[:, None]).astype(jnp.float32),
+                    axis=-1)                              # (b, i, j, s, H)
+    sim_v = sim_v + bias_all[None, :, :f, None, :]
+    if ek is not None:
+        t_tok = ek.shape[1]
+        ekh = ek.reshape(b, t_tok, heads, d).astype(jnp.float32)
+        evh = ev.reshape(b, t_tok, heads, d).astype(jnp.float32)
+        sim_c = jnp.sum(q.astype(jnp.float32)[:, :, None]
+                        * ekh[:, None, :, None], axis=-1)  # (b, i, T, s, H)
+        sim_c = sim_c + bias_all[None, :, f:, None, :]
+        mx = jnp.maximum(jnp.max(sim_v, axis=2, keepdims=True),
+                         jnp.max(sim_c, axis=2, keepdims=True))
+        e_v = jnp.exp(sim_v - mx)
+        e_c = jnp.exp(sim_c - mx)
+        z = (jnp.sum(e_v, axis=2, keepdims=True)
+             + jnp.sum(e_c, axis=2, keepdims=True))
+        out = jnp.sum((e_v / z)[..., None] * v[:, None].astype(jnp.float32),
+                      axis=2)
+        out = out + jnp.sum((e_c / z)[..., None]
+                            * evh[:, None, :, None], axis=2)
+    else:
+        mx = jnp.max(sim_v, axis=2, keepdims=True)
+        e_v = jnp.exp(sim_v - mx)
+        out = jnp.sum((e_v / jnp.sum(e_v, axis=2, keepdims=True))[..., None]
+                      * v[:, None].astype(jnp.float32), axis=2)
+    out = out.astype(dtype).reshape(b, f, s, hidden)
+    out = jnp.einsum("bfsh,hc->bfsc", out, w_out.astype(dtype))
+    return x + out.astype(x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+def fused_temporal_block_core(x, gamma, w_all, w_out, ek, ev, bias_all,
+                              heads, tile, interpret):
+    return _run_kernel(x, gamma, w_all, w_out, ek, ev, bias_all,
+                       heads=heads, tile=tile, interpret=interpret)
+
+
+def _core_fwd(x, gamma, w_all, w_out, ek, ev, bias_all, heads, tile,
+              interpret):
+    out = _run_kernel(x, gamma, w_all, w_out, ek, ev, bias_all,
+                      heads=heads, tile=tile, interpret=interpret)
+    return out, (x, gamma, w_all, w_out, ek, ev, bias_all)
+
+
+def _core_bwd(heads, tile, interpret, residuals, g):
+    x, gamma, w_all, w_out, ek, ev, bias_all = residuals
+    _, vjp = jax.vjp(
+        lambda x_, gamma_, w_all_, w_out_, ek_, ev_: reference_temporal_block(
+            x_, gamma_, w_all_, w_out_, ek_, ev_, bias_all, heads=heads),
+        x, gamma, w_all, w_out, ek, ev)
+    return (*vjp(g), None)
+
+
+fused_temporal_block_core.defvjp(_core_fwd, _core_bwd)
+
+
+def _pick_tile(s: int) -> int:
+    for t in (1152, 1024, 768, 512, 384, 256, 128):
+        if s % t == 0:
+            return t
+    return s
+
+
+def _run_kernel(x, gamma, w_all, w_out, ek, ev, bias_all, *, heads, tile,
+                interpret):
+    b, f, s, c = x.shape
+    hidden = w_out.shape[0]
+    d = hidden // heads
+    has_cond = ek is not None
+    t_tok = ek.shape[1] if has_cond else 0
+    tile = tile or _pick_tile(s)
+    assert s % tile == 0, (s, tile)
+
+    gamma2 = gamma.reshape(1, -1).astype(jnp.float32)
+    bias2 = bias_all.astype(jnp.float32)                  # (F, F+T, heads)
+
+    grid = (b, s // tile)
+    kernel = functools.partial(_kernel, f=f, heads=heads, d=d,
+                               has_cond=has_cond, t_tok=t_tok)
+    in_specs = [
+        pl.BlockSpec((1, f, tile, c), lambda bi, ti: (bi, 0, ti, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, c), lambda bi, ti: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((f, c, 3 * hidden), lambda bi, ti: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((hidden, c), lambda bi, ti: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((f, f + t_tok, heads), lambda bi, ti: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands = [x, gamma2, w_all.astype(jnp.bfloat16),
+                w_out.astype(jnp.bfloat16), bias2]
+    if has_cond:
+        cond_spec = pl.BlockSpec((1, t_tok, hidden),
+                                 lambda bi, ti: (bi, 0, 0),
+                                 memory_space=pltpu.VMEM)
+        in_specs += [cond_spec, cond_spec]
+        operands += [ek.astype(jnp.bfloat16), ev.astype(jnp.bfloat16)]
+
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, f, s, c), x.dtype),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, f, tile, c), lambda bi, ti: (bi, 0, ti, 0),
+                               memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(*operands)
+
+
+def fused_temporal_block(x, gamma, w_all, w_out, ek, ev, bias_all, *,
+                         heads: int, tile: int | None = None,
+                         interpret: bool | None = None):
+    """x: (B, F, S, C); gamma (C,); w_all (F, C, 3*hidden) rotary+scale
+    folded; w_out (hidden, C); ek/ev (B, T, hidden) conditioning K/V
+    (rotary already applied to ek), or None; bias_all (F, F+T, heads) with
+    the cond columns zeroed when the reference adds no cond bias.
+    Returns x + block(x); differentiable (XLA-reference backward)."""
+    if interpret is None:
+        import os
+        interpret = os.environ.get("VMT_PALLAS_INTERPRET", "") == "1"
+    return fused_temporal_block_core(x, gamma, w_all, w_out, ek, ev,
+                                     bias_all, heads, tile, interpret)
