@@ -43,7 +43,13 @@ def main():
     # Level 1 measured a 6.5x standalone win (9.6 vs 62.6 ms) but ZERO
     # in-graph bench change (5.40 vs 5.44 best-of-3) — XLA schedules the
     # in-context level-1 block fine; one Mosaic shape kept for cold compiles.
-    cfg = ModelConfig(use_fused_linear_block="level0")
+    import os
+    # VMT_BENCH_FUSED_TEMPORAL: in-graph A/B hook for the fused temporal
+    # kernel ('' off | 'level0' | 'all' | int N)
+    ft = os.environ.get("VMT_BENCH_FUSED_TEMPORAL", "")
+    ft = int(ft) if ft.isdigit() else (ft or False)
+    cfg = ModelConfig(use_fused_linear_block="level0",
+                      use_fused_temporal_block=ft)
     model = UNet3D.from_config(cfg)
     diffusion = GaussianDiffusion.from_config(model, cfg)
 

@@ -56,6 +56,9 @@ def main(argv=None):
     p.add_argument("--save-and-sample-every", type=int, default=10_000)
     p.add_argument("--num-samples", type=int, default=3)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--test-batch-size", type=int, default=2,
+                   help="eval/sampling batch per device (halved like the "
+                        "reference, vddp.py:1460)")
     p.add_argument("--no-log", action="store_true")
     p.add_argument("--skip-train", action="store_true")
     p.add_argument("--skip-eval-target", action="store_true",
@@ -87,6 +90,7 @@ def main(argv=None):
         num_samples=args.num_samples,
         seed=args.seed,
         log=not args.no_log,
+        test_batch_size=args.test_batch_size,
     )
 
     data_root = Path(args.data_root)

@@ -87,10 +87,16 @@ def main():
 
     l_fused = SpatialLinearAttentionBlock(**kw, use_fused_block=True)
 
+    t_fused = TemporalAttentionBlock(**kw, use_rotary=True,
+                                     use_fused_block=True)
+
     if "noop" in variants:
         chain_timer("noop_chain", lambda y: y, x)
     if "xla_t" in variants:
         chain_timer("xla_temporal", lambda y: t_block.apply(
+            params_t, y, pos_bias=pos_bias, label_emb=label), x)
+    if "fused_t" in variants:
+        chain_timer("fused_temporal", lambda y: t_fused.apply(
             params_t, y, pos_bias=pos_bias, label_emb=label), x)
     if "xla_l" in variants:
         chain_timer("xla_linear", lambda y: l_block.apply(

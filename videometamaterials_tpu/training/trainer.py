@@ -140,29 +140,42 @@ class Trainer:
                 jnp.float32)
             dummy_t = jnp.zeros((1,), jnp.int32)
             dummy_c = jnp.zeros((1, self.ds.labels.shape[1]), jnp.float32)
-            init_params = diffusion.model.init(init_rng, dummy_x, dummy_t,
-                                               dummy_c)
-        state = TrainState(
-            step=jnp.zeros((), jnp.int32),
-            params=init_params,
-            opt_state=self.tx.init(init_params),
-            ema_params=jax.tree.map(jnp.copy, init_params),
-        )
+            # jitted init: ONE compiled (cacheable) program instead of
+            # hundreds of eager dispatches — on the remote-compile relay the
+            # eager path alone took ~15 minutes of startup
+            init_params = jax.jit(diffusion.model.init)(init_rng, dummy_x,
+                                                        dummy_t, dummy_c)
         self._repl = replicated_sharding(self.mesh)
         self._bsh = batch_sharding(self.mesh)
-        self.state = jax.device_put(state, self._repl)
+        # one jitted program builds the whole initial state directly in the
+        # replicated layout (eager per-leaf copies/optimizer init are
+        # hundreds of round trips on a remote-dispatch runtime)
+        self.state = jax.jit(
+            lambda p: TrainState(
+                step=jnp.zeros((), jnp.int32), params=p,
+                opt_state=self.tx.init(p),
+                ema_params=jax.tree.map(lambda a: a + 0, p)),
+            out_shardings=self._repl)(init_params)
 
         self._train_step = self._build_train_step()
         # per-sample validation losses: padded tail rows are masked out on
         # the host and batches size-weighted (vddp.py:1695-1714 gathers true
         # per-batch losses; a plain mean over padded batches would bias small
         # validation sets)
+        # replicated output: every process can fetch the whole vector (a
+        # batch-sharded output is not fully addressable under multi-host)
         self._loss_fn = jax.jit(
             lambda params, rng, x, c: self.diffusion.loss(
                 params, rng, x, c,
                 null_cond_prob=self.tcfg.null_cond_prob,
                 prob_focus_present=self.tcfg.prob_focus_present,
-                per_sample=True))
+                per_sample=True),
+            out_shardings=self._repl)
+        # device all-gather so sampled videos are host-fetchable everywhere
+        # (replaces the reference's pad_across_processes/gather dance,
+        # vddp.py:1837-1868)
+        self._gather_for_host = jax.jit(lambda v: v,
+                                        out_shardings=self._repl)
         self._sample_fns: dict = {}
 
         self._metrics_path = self.results_folder / "metrics.jsonl"
@@ -230,6 +243,8 @@ class Trainer:
 
     # ---------------------------------------------------------------- logging
     def _log(self, record: dict):
+        if jax.process_index() != 0:       # single metrics stream
+            return
         with open(self._metrics_path, "a") as f:
             f.write(json.dumps(record) + "\n")
         if self._wandb is not None:
@@ -314,7 +329,8 @@ class Trainer:
             else self.tcfg.guidance_scale
         step = int(self.state.step)
         mode_dir = self.results_folder / "training" / f"step_{step}"
-        (mode_dir / "gifs").mkdir(parents=True, exist_ok=True)
+        if jax.process_index() == 0:
+            (mode_dir / "gifs").mkdir(parents=True, exist_ok=True)
 
         val_loss = self.validation_loss()
         self._log({"step": step, "validation loss": val_loss})
@@ -327,11 +343,12 @@ class Trainer:
             cond = self.ds_test.labels[pick]
             cond_rep = np.repeat(cond, num_preds, axis=0)
             videos = self.sample_videos(cond_rep, guidance_scale)
-            save_preds(videos, mode_dir, self.selected_channels,
-                       num_samples=len(pick),
-                       reference_frame=self.reference_frame,
-                       num_frames=self.num_frames,
-                       zero_u_2=self.ds.zero_u_2)
+            if jax.process_index() == 0:   # artifacts written once
+                save_preds(videos, mode_dir, self.selected_channels,
+                           num_samples=len(pick),
+                           reference_frame=self.reference_frame,
+                           num_frames=self.num_frames,
+                           zero_u_2=self.ds.zero_u_2)
         return val_loss
 
     def validation_loss(self) -> float:
@@ -373,7 +390,8 @@ class Trainer:
                / f"step_{step}").exists():
             eval_idx += 1
         mode_dir = self.results_folder / f"{mode}_{eval_idx}" / f"step_{step}"
-        (mode_dir / "gifs").mkdir(parents=True, exist_ok=True)
+        if jax.process_index() == 0:
+            (mode_dir / "gifs").mkdir(parents=True, exist_ok=True)
 
         try:
             targets = np.genfromtxt(target_labels_dir, delimiter=",")
@@ -394,11 +412,12 @@ class Trainer:
         cond_rep = np.repeat(cond, num_preds, axis=0)
 
         videos = self.sample_videos(cond_rep, guidance_scale)
-        save_preds(videos, mode_dir, self.selected_channels,
-                   num_samples=num_samples,
-                   reference_frame=self.reference_frame,
-                   num_frames=self.num_frames,
-                   zero_u_2=self.ds.zero_u_2)
+        if jax.process_index() == 0:       # artifacts written once
+            save_preds(videos, mode_dir, self.selected_channels,
+                       num_samples=num_samples,
+                       reference_frame=self.reference_frame,
+                       num_frames=self.num_frames,
+                       zero_u_2=self.ds.zero_u_2)
         return mode_dir
 
     # -------------------------------------------------------------- sampling
@@ -435,12 +454,16 @@ class Trainer:
         for i in range(0, len(padded), chunk):
             rng, sub = jax.random.split(rng)
             c = jax.device_put(padded[i:i + chunk], self._bsh)
-            outs.append(np.asarray(fn(params, sub, c)))
+            outs.append(np.asarray(self._gather_for_host(fn(params, sub, c))))
         return np.concatenate(outs, axis=0)[:n]
 
     # ------------------------------------------------------------ checkpoint
     def save(self, step: Optional[int] = None):
         step = int(self.state.step) if step is None else step
+        if jax.process_count() > 1 and jax.process_index() != 0:
+            # state is fully replicated: process 0 alone writes the files
+            # (concurrent writers on a shared filesystem would race)
+            return
         payload = jax.device_get({
             "step": self.state.step,
             "params": self.state.params,
