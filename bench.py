@@ -48,8 +48,12 @@ def main():
     # kernel ('' off | 'level0' | 'all' | int N)
     ft = os.environ.get("VMT_BENCH_FUSED_TEMPORAL", "")
     ft = int(ft) if ft.isdigit() else (ft or False)
+    # VMT_BENCH_TEMPORAL_STILE: s-tiled XLA temporal plan (tile size)
+    st = os.environ.get("VMT_BENCH_TEMPORAL_STILE", "")
+    st = int(st) if st.isdigit() else None
     cfg = ModelConfig(use_fused_linear_block="level0",
-                      use_fused_temporal_block=ft)
+                      use_fused_temporal_block=ft,
+                      temporal_s_tile=st)
     model = UNet3D.from_config(cfg)
     diffusion = GaussianDiffusion.from_config(model, cfg)
 

@@ -98,6 +98,11 @@ def main():
     if "fused_t" in variants:
         chain_timer("fused_temporal", lambda y: t_fused.apply(
             params_t, y, pos_bias=pos_bias, label_emb=label), x)
+    if "stiled_t" in variants:
+        t_stiled = TemporalAttentionBlock(**kw, use_rotary=True,
+                                          s_tile=1152)
+        chain_timer("stiled_temporal", lambda y: t_stiled.apply(
+            params_t, y, pos_bias=pos_bias, label_emb=label), x)
     if "xla_l" in variants:
         chain_timer("xla_linear", lambda y: l_block.apply(
             params_l, y, label_emb=label), x)

@@ -112,6 +112,31 @@ def test_module_fused_path_matches_temporal_xla(cond, monkeypatch):
                                rtol=5e-2, atol=5e-2)
 
 
+@pytest.mark.parametrize("cond", ["self-stacked", "none"])
+def test_module_stiled_path_matches_temporal_xla(cond):
+    """The s-tiled XLA plan (scan over spatial tiles) must agree with
+    temporal_xla on the same parameters — tiling is a scheduling change,
+    not a math change."""
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (B, F, 16, 16, C), jnp.bfloat16) * 0.5
+    label = jax.random.normal(rng, (B, F, 32), jnp.float32) * 0.5
+    pos_bias = jax.random.normal(rng, (HEADS, F, F), jnp.float32) * 0.3
+    kw = dict(dim=C, heads=HEADS, dim_head=D, use_rotary=True,
+              cond_attention=cond, cond_dim=32, per_frame_cond=True,
+              dtype=jnp.bfloat16)
+    block_x = TemporalAttentionBlock(**kw)
+    block_s = TemporalAttentionBlock(**kw, s_tile=64)   # 256 = 4 tiles
+    params = block_x.init(rng, x, pos_bias=pos_bias,
+                          label_emb=label if cond != "none" else None)
+    want = block_x.apply(params, x, pos_bias=pos_bias,
+                         label_emb=label if cond != "none" else None)
+    got = block_s.apply(params, x, pos_bias=pos_bias,
+                        label_emb=label if cond != "none" else None)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want, np.float32),
+                               rtol=5e-2, atol=5e-2)
+
+
 def test_focus_present_falls_back_to_xla(monkeypatch):
     monkeypatch.setenv("VMT_PALLAS_INTERPRET", "1")
     rng = jax.random.PRNGKey(0)

@@ -71,6 +71,9 @@ class ModelConfig:
     use_fused_temporal_block: bool | str | int = False  # Pallas fused
                                               # temporal-attention block
                                               # (same tri-state form)
+    temporal_s_tile: int | None = None        # s-tiled XLA temporal plan:
+                                              # scan over spatial tiles of
+                                              # this size (None = untiled)
 
     @property
     def channels(self) -> int:

@@ -279,6 +279,68 @@ class Attention(nn.Module):
         w_all = jnp.concatenate([w_qf, w_kf, w_vf], axis=-1)
         return w_all, freqs
 
+    def _prepared_temporal_operands(self, f, label_emb):
+        """Folded weights + conditioning K/V + combined bias for the
+        whole-block temporal formulations (fused kernel and s-tiled XLA)."""
+        w_all, freqs = self._folded_temporal_weights(f)
+        cond_used = self.cond_attention == "self-stacked" \
+            and label_emb is not None
+        ek = ev = None
+        t_tok = 0
+        if cond_used:
+            ek, ev = self._cond_kv(label_emb)             # (b, T, hidden)
+            if self.use_rotary and self.per_frame_cond:
+                ek = apply_rotary_heads(ek, freqs, self.heads)
+            t_tok = ek.shape[1]
+        return w_all, ek, ev, t_tok, cond_used
+
+    def _temporal_bias_all(self, f, t_tok, cond_used, pos_bias):
+        bias_all = jnp.zeros((f, f + t_tok, self.heads), jnp.float32)
+        if pos_bias is not None:
+            bias_v = pos_bias.astype(jnp.float32).transpose(1, 2, 0)
+            bias_all = bias_all.at[:, :f].set(bias_v)
+            if cond_used and self.per_frame_cond and t_tok == f:
+                # per-frame cond: bias also lands on the cond block
+                # (vddp.py:502-512)
+                bias_all = bias_all.at[:, f:].set(bias_v)
+        return bias_all
+
+    def temporal_stiled(self, x_bfsc, norm_gamma, pos_bias=None,
+                        label_emb=None, s_tile: int = 1152):
+        """Whole temporal block as a lax.scan over spatial tiles (pure XLA).
+        Per tile, the QKV expansion and score/weight tensors are working-set
+        sized and XLA's fusion keeps them on-chip — tiling does not change
+        total BYTES, it changes what XLA must materialize. Measured 1.14x
+        faster than untiled temporal_xla at the level-0 module shape
+        (62.1 vs 70.2 ms, BENCH_NOTES.md round-3 roofline); kept as the
+        pure-XLA fallback where the fused Pallas kernel (1.9x) is
+        unavailable. Math = temporal_xla with f32 score statistics (the
+        kernel's XLA twin runs per tile)."""
+        from videometamaterials_tpu.ops.pallas.fused_temporal_block import (
+            reference_temporal_block,
+        )
+
+        b, f, s, c_in = x_bfsc.shape
+        w_all, ek, ev, t_tok, cond_used = self._prepared_temporal_operands(
+            f, label_emb)
+        bias_all = self._temporal_bias_all(f, t_tok, cond_used, pos_bias)
+        args = (norm_gamma, w_all.astype(self.dtype),
+                self.to_out_kernel.astype(self.dtype),
+                None if ek is None else ek.astype(self.dtype),
+                None if ev is None else ev.astype(self.dtype), bias_all)
+
+        n = s // s_tile if (s % s_tile == 0) else 1
+        if n <= 1:
+            return reference_temporal_block(x_bfsc, *args, heads=self.heads)
+        xt = x_bfsc.reshape(b, f, n, s_tile, c_in).transpose(2, 0, 1, 3, 4)
+
+        def body(_, xtile):
+            return None, reference_temporal_block(xtile, *args,
+                                                  heads=self.heads)
+
+        _, out = jax.lax.scan(body, None, xt)
+        return out.transpose(1, 2, 0, 3, 4).reshape(b, f, s, c_in)
+
     def temporal_fused(self, x_bfsc, norm_gamma, pos_bias=None,
                        label_emb=None, tile=None):
         """Whole temporal attention block as ONE Pallas kernel
@@ -292,26 +354,9 @@ class Attention(nn.Module):
 
         b, f, s, c_in = x_bfsc.shape
         heads = self.heads
-        w_all, freqs = self._folded_temporal_weights(f)
-
-        cond_used = self.cond_attention == "self-stacked" \
-            and label_emb is not None
-        ek = ev = None
-        t_tok = 0
-        if cond_used:
-            ek, ev = self._cond_kv(label_emb)             # (b, T, hidden)
-            if self.use_rotary and self.per_frame_cond:
-                ek = apply_rotary_heads(ek, freqs, heads)  # vddp.py:470-471
-            t_tok = ek.shape[1]
-
-        bias_all = jnp.zeros((f, f + t_tok, heads), jnp.float32)
-        if pos_bias is not None:
-            bias_v = pos_bias.astype(jnp.float32).transpose(1, 2, 0)
-            bias_all = bias_all.at[:, :f].set(bias_v)
-            if cond_used and self.per_frame_cond and t_tok == f:
-                # per-frame cond: bias also lands on the cond block
-                # (vddp.py:502-512)
-                bias_all = bias_all.at[:, f:].set(bias_v)
+        w_all, ek, ev, t_tok, cond_used = self._prepared_temporal_operands(
+            f, label_emb)
+        bias_all = self._temporal_bias_all(f, t_tok, cond_used, pos_bias)
 
         return fused_temporal_block(
             x_bfsc, norm_gamma, w_all.astype(self.dtype),
@@ -607,6 +652,10 @@ class TemporalAttentionBlock(nn.Module):
     # BENCH_NOTES.md). Falls back to temporal_xla for cross-attention or
     # when a focus_present_mask is active.
     use_fused_block: bool = False
+    # s-tiled XLA plan (Attention.temporal_stiled): scan over spatial tiles
+    # of this size; None = untiled temporal_xla. Ignored when the fused
+    # kernel is active.
+    s_tile: int | None = None
 
     def _make_attn(self):
         return Attention(dim=self.dim, heads=self.heads,
@@ -630,6 +679,11 @@ class TemporalAttentionBlock(nn.Module):
             if self.use_fused_block and focus_present_mask is None:
                 out = attn.temporal_fused(x4, gamma, pos_bias=pos_bias,
                                           label_emb=label_emb)
+            elif self.s_tile and focus_present_mask is None \
+                    and (h * w) % self.s_tile == 0 and h * w > self.s_tile:
+                out = attn.temporal_stiled(x4, gamma, pos_bias=pos_bias,
+                                           label_emb=label_emb,
+                                           s_tile=self.s_tile)
             else:
                 out = attn.temporal_xla(
                     x4, gamma, pos_bias=pos_bias,
@@ -780,6 +834,10 @@ class UNet3D(nn.Module):
     # Same tri-state for the fused temporal-attention Pallas kernel
     # (ops/pallas/fused_temporal_block.py).
     use_fused_temporal_block: bool | str | int = False
+    # s-tiled XLA temporal plan: spatial tile size for lax.scan over tiles
+    # (None = untiled); applies to levels where the tile divides h*w and is
+    # smaller than it. Ignored where the fused kernel is selected.
+    temporal_s_tile: int | None = None
 
     def _tri_state(self, flag, dim):
         """False | True/'all' (every level) | 'level0' (full-res blocks) |
@@ -824,6 +882,7 @@ class UNet3D(nn.Module):
             dtype=self._dtype,
             use_fused_block=self._tri_state(self.use_fused_temporal_block,
                                             dim),
+            s_tile=self.temporal_s_tile,
             name=name)
 
     def _spatial_linear_attn(self, dim, name):
@@ -1022,4 +1081,5 @@ class UNet3D(nn.Module):
                 cfg, "use_fused_linear_block", False),
             use_fused_temporal_block=getattr(
                 cfg, "use_fused_temporal_block", False),
+            temporal_s_tile=getattr(cfg, "temporal_s_tile", None),
         )
