@@ -44,10 +44,12 @@ def main():
     # in-graph bench change (5.40 vs 5.44 best-of-3) — XLA schedules the
     # in-context level-1 block fine; one Mosaic shape kept for cold compiles.
     import os
-    # VMT_BENCH_FUSED_TEMPORAL: in-graph A/B hook for the fused temporal
-    # kernel ('' off | 'level0' | 'all' | int N)
-    ft = os.environ.get("VMT_BENCH_FUSED_TEMPORAL", "")
-    ft = int(ft) if ft.isdigit() else (ft or False)
+    # VMT_BENCH_FUSED_TEMPORAL: A/B hook for the fused temporal kernel
+    # ('off' | 'level0' | 'all' | int N). Default ON at every level:
+    # in-graph bench 7.89 ('all') vs 7.57 (level0) vs 5.44 (off)
+    # videos/min (BENCH_NOTES.md round-3 roofline + sweep).
+    ft = os.environ.get("VMT_BENCH_FUSED_TEMPORAL", "all")
+    ft = int(ft) if ft.isdigit() else (False if ft in ("", "off") else ft)
     # VMT_BENCH_TEMPORAL_STILE: s-tiled XLA temporal plan (tile size)
     st = os.environ.get("VMT_BENCH_TEMPORAL_STILE", "")
     st = int(st) if st.isdigit() else None

@@ -23,12 +23,13 @@ sys.path.insert(0, "/root/repo")
 GUIDANCE = 5.0
 
 
-def run(batch, fused, chunk, n_runs=2):
+def run(batch, fused, chunk, ft=False, n_runs=2):
     from videometamaterials_tpu.config import ModelConfig
     from videometamaterials_tpu.diffusion import GaussianDiffusion
     from videometamaterials_tpu.models import UNet3D
 
     cfg = ModelConfig(use_fused_linear_block="level0" if fused else False,
+                      use_fused_temporal_block=ft,
                       sample_scan_chunk=chunk)
     model = UNet3D.from_config(cfg)
     diffusion = GaussianDiffusion.from_config(model, cfg)
@@ -53,27 +54,32 @@ def run(batch, fused, chunk, n_runs=2):
     jax.block_until_ready(out)
     el = (time.perf_counter() - t0) / n_runs
     print(json.dumps({
-        "batch": batch, "fused": fused, "chunk": chunk,
+        "batch": batch, "fused": fused, "fused_temporal": ft, "chunk": chunk,
         "warm_s": round(warm, 1), "sample_call_s": round(el, 2),
         "videos_per_min": round(batch * 60.0 / el, 2),
     }), flush=True)
 
 
 def main():
-    configs = [(4, False, 64), (8, False, 64), (16, False, 32),
-               (8, True, 64), (4, True, 64)]
-    if len(sys.argv) > 1:  # e.g. "8,True,64 16,True,32"
+    configs = [(4, False, 64, False), (8, False, 64, False),
+               (16, False, 32, False), (8, True, 64, False),
+               (4, True, 64, False)]
+    if len(sys.argv) > 1:  # e.g. "8,True,64 16,True,32,level0"
         configs = []
         for spec in sys.argv[1:]:
-            b, f, c = spec.split(",")
-            configs.append((int(b), f == "True", int(c)))
-    for batch, fused, chunk in configs:
+            parts = spec.split(",")
+            b, f, c = parts[:3]
+            ft = parts[3] if len(parts) > 3 else "False"
+            ft = False if ft in ("False", "") else ft
+            configs.append((int(b), f == "True", int(c), ft))
+    for batch, fused, chunk, ft in configs:
         for attempt in range(2):
             try:
-                run(batch, fused, chunk)
+                run(batch, fused, chunk, ft)
                 break
             except Exception as e:  # noqa: BLE001 — log and continue sweep
                 print(json.dumps({"batch": batch, "fused": fused,
+                                  "fused_temporal": ft,
                                   "chunk": chunk, "attempt": attempt,
                                   "error": repr(e)[:400]}), flush=True)
 

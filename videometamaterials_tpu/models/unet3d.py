@@ -665,6 +665,21 @@ class TemporalAttentionBlock(nn.Module):
                          per_frame_cond=self.per_frame_cond,
                          dtype=self.dtype, name="attn")
 
+    def _fused_ok(self):
+        """Same platform gate as the linear block: the Mosaic kernel only
+        lowers on TPU; off-TPU the flag is ignored (temporal_xla runs)
+        unless interpret mode is forced (parity tests)."""
+        if not self.use_fused_block:
+            return False
+        import os
+        if os.environ.get("VMT_PALLAS_INTERPRET", "") == "1":
+            return True
+        try:
+            platform = jax.devices()[0].platform
+        except RuntimeError:
+            return False
+        return platform in ("tpu", "axon")
+
     @nn.compact
     def __call__(self, x, pos_bias=None, focus_present_mask=None,
                  label_emb=None):
@@ -676,7 +691,7 @@ class TemporalAttentionBlock(nn.Module):
             # optimized frames-major path: no transposes, rotary folded
             # into weights, cond K/V never materialized per position
             x4 = x.reshape(b, f, h * w, c)
-            if self.use_fused_block and focus_present_mask is None:
+            if self._fused_ok() and focus_present_mask is None:
                 out = attn.temporal_fused(x4, gamma, pos_bias=pos_bias,
                                           label_emb=label_emb)
             elif self.s_tile and focus_present_mask is None \
