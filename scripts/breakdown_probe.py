@@ -37,7 +37,11 @@ def time_variant(name, no_temporal=False, no_linear=False, no_mid=False):
         if no_mid:
             u.SpatialAttentionBlock.__call__ = lambda self, x, **kw: x
 
-        cfg = ModelConfig(use_fused_linear_block="level0")  # bench config
+        import os
+        ft = os.environ.get("VMT_BENCH_FUSED_TEMPORAL", "all")
+        ft = int(ft) if ft.isdigit() else (False if ft in ("", "off") else ft)
+        cfg = ModelConfig(use_fused_linear_block="level0",  # bench config
+                          use_fused_temporal_block=ft)
         model = UNet3D.from_config(cfg)
         rng = jax.random.PRNGKey(0)
         params = jax.jit(model.init)(

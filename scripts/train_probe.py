@@ -3,24 +3,34 @@
 +EMA at flagship config, scan-timed like perf_probe."""
 
 import argparse
+import sys
 import time
 
 import jax
 import jax.numpy as jnp
 import optax
 
+sys.path.insert(0, "/root/repo")
+
 
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--iters", type=int, default=8)
     p.add_argument("--batch", type=int, default=4)
+    p.add_argument("--fused-linear", default="level0")
+    p.add_argument("--fused-temporal", default="all")  # production default
     args = p.parse_args()
 
     from videometamaterials_tpu.config import ModelConfig
     from videometamaterials_tpu.diffusion import GaussianDiffusion
     from videometamaterials_tpu.models import UNet3D
 
-    cfg = ModelConfig()
+    def tri(v):
+        return False if v in ("", "off", "False") else \
+            (int(v) if v.isdigit() else v)
+
+    cfg = ModelConfig(use_fused_linear_block=tri(args.fused_linear),
+                      use_fused_temporal_block=tri(args.fused_temporal))
     model = UNet3D.from_config(cfg)
     diffusion = GaussianDiffusion.from_config(model, cfg)
     tx = optax.adam(cfg.learning_rate)
