@@ -20,7 +20,8 @@ ITERS = 16
 BATCH = 8           # CFG-folded batch for the bench's sampling batch of 4
 
 
-def time_variant(name, no_temporal=False, no_linear=False, no_mid=False):
+def time_variant(name, no_temporal=False, no_linear=False, no_mid=False,
+                 no_gn=False):
     import videometamaterials_tpu.models.unet3d as u
     from videometamaterials_tpu.config import ModelConfig
     from videometamaterials_tpu.models import UNet3D
@@ -28,6 +29,7 @@ def time_variant(name, no_temporal=False, no_linear=False, no_mid=False):
     orig_t = u.TemporalAttentionBlock.__call__
     orig_s = u.SpatialAttentionBlock.__call__
     orig_l = u.SpatialLinearAttentionBlock.__call__
+    orig_gn = u.group_norm
     try:
         if no_temporal:
             u.TemporalAttentionBlock.__call__ = lambda self, x, **kw: x
@@ -36,6 +38,12 @@ def time_variant(name, no_temporal=False, no_linear=False, no_mid=False):
                 lambda self, x, **kw: x
         if no_mid:
             u.SpatialAttentionBlock.__call__ = lambda self, x, **kw: x
+        if no_gn:
+            # one-pass elementwise stand-in: isolates the cost of
+            # GroupNorm's full-tensor statistics passes (the affine stays
+            # so the epilogue fusion structure is unchanged)
+            u.group_norm = lambda x, scale, bias, groups, eps=1e-5: (
+                x * scale.astype(x.dtype) + bias.astype(x.dtype))
 
         import os
         ft = os.environ.get("VMT_BENCH_FUSED_TEMPORAL", "all")
@@ -78,10 +86,20 @@ def time_variant(name, no_temporal=False, no_linear=False, no_mid=False):
         u.TemporalAttentionBlock.__call__ = orig_t
         u.SpatialAttentionBlock.__call__ = orig_s
         u.SpatialLinearAttentionBlock.__call__ = orig_l
+        u.group_norm = orig_gn
 
+
+VARIANTS = {
+    "full": {},
+    "no_temporal": dict(no_temporal=True),
+    "no_linear": dict(no_linear=True),
+    "convs_only": dict(no_temporal=True, no_linear=True, no_mid=True),
+    "convs_only_nogn": dict(no_temporal=True, no_linear=True, no_mid=True,
+                            no_gn=True),
+    "full_nogn": dict(no_gn=True),
+}
 
 if __name__ == "__main__":
-    time_variant("full")
-    time_variant("no_temporal", no_temporal=True)
-    time_variant("no_linear", no_linear=True)
-    time_variant("convs_only", no_temporal=True, no_linear=True, no_mid=True)
+    names = sys.argv[1:] or ["full", "no_temporal", "no_linear", "convs_only"]
+    for n in names:
+        time_variant(n, **VARIANTS[n])

@@ -75,7 +75,9 @@ def test_two_process_train_ckpt_sample(tmp_path):
          str(tmp_path)],
         env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
         for pid in range(2)]
-    outs = [p.communicate(timeout=900)[0] for p in procs]
+    # generous: ~9 min alone on this box, and the suite may run alongside
+    # other jobs (the 900 s limit flaked once under CPU contention)
+    outs = [p.communicate(timeout=1800)[0] for p in procs]
     for p, out in zip(procs, outs):
         assert p.returncode == 0, f"worker failed:\n{out[-3000:]}"
 

@@ -202,3 +202,37 @@ def test_is_traced():
 
     f(jnp.zeros(3))
     assert seen == [True]
+
+
+def test_fused_config_trains_on_xla_plan(data_dirs, monkeypatch):
+    """With fused kernels configured, the TRAIN path must use the plain XLA
+    plans (the kernels' custom-VJP backward recomputes the XLA forward, so
+    under grad they only add cost): training from the same seed must be
+    bit-identical to an unfused-config trainer, and the sampling path must
+    still run the fused plan (same param tree by construction)."""
+    monkeypatch.setenv("VMT_PALLAS_INTERPRET", "1")
+    fused = _make_trainer(
+        data_dirs, run="fusedtrain",
+        mcfg=_tiny_mcfg(use_fused_linear_block=True,
+                        use_fused_temporal_block=True))
+    plain = _make_trainer(data_dirs, run="plaintrain")
+    assert fused._train_diffusion is not fused.diffusion
+    assert not fused._train_diffusion.model.use_fused_linear_block
+    assert not fused._train_diffusion.model.use_fused_temporal_block
+    assert plain._train_diffusion is plain.diffusion
+
+    rng = jax.random.PRNGKey(7)
+    v, c = fused.ds.get_batch(np.arange(2))
+    v, c = jnp.asarray(v), jnp.asarray(c)
+    sf, lf = fused._train_step(fused.state, v, c, rng)
+    sp, lp = plain._train_step(plain.state, v, c, rng)
+    assert float(lf) == float(lp)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b)),
+        jax.device_get(sf.params), jax.device_get(sp.params))
+
+    # the fused trainer's SAMPLING diffusion consumes the trained params
+    fused.state = sf
+    vids = fused.sample_videos(np.asarray(c), guidance_scale=1.0)
+    assert vids.shape[0] == 2

@@ -71,6 +71,15 @@ class ModelConfig:
     use_fused_temporal_block: bool | str | int = False  # Pallas fused
                                               # temporal-attention block
                                               # (same tri-state form)
+    fused_blocks_in_training: bool = False    # the fused kernels' custom-VJP
+                                              # backward RECOMPUTES the XLA
+                                              # forward, so inside grad they
+                                              # cost kernel_fwd + xla_fwd +
+                                              # xla_bwd; by default the train
+                                              # step therefore uses the plain
+                                              # XLA plans (same param tree)
+                                              # and only sampling/eval runs
+                                              # the kernels
     temporal_s_tile: int | None = None        # s-tiled XLA temporal plan:
                                               # scan over spatial tiles of
                                               # this size (None = untiled)

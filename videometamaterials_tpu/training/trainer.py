@@ -73,6 +73,25 @@ class Trainer:
         self.diffusion = diffusion
         self.mcfg = model_cfg
         self.tcfg = trainer_cfg
+        # Training plan: the fused Pallas kernels pay kernel_fwd + xla_fwd +
+        # xla_bwd under grad (their custom-VJP backward recomputes the XLA
+        # reference forward), so unless fused_blocks_in_training is set the
+        # loss/grad path runs the plain XLA plans. Both plans create the
+        # identical parameter tree (models/unet3d.py _RawKernel), so the
+        # same state trains unfused and samples fused.
+        self._train_diffusion = diffusion
+        fused_on = bool(model_cfg.use_fused_linear_block) \
+            or bool(model_cfg.use_fused_temporal_block)
+        if fused_on and not model_cfg.fused_blocks_in_training:
+            import dataclasses
+
+            from videometamaterials_tpu.diffusion import GaussianDiffusion
+            from videometamaterials_tpu.models import UNet3D
+            train_mcfg = dataclasses.replace(
+                model_cfg, use_fused_linear_block=False,
+                use_fused_temporal_block=False)
+            self._train_diffusion = GaussianDiffusion.from_config(
+                UNet3D.from_config(train_mcfg), train_mcfg)
         self.results_folder = Path(results_folder)
         self.results_folder.mkdir(parents=True, exist_ok=True)
         self.run_name = run_name
@@ -142,9 +161,11 @@ class Trainer:
             dummy_c = jnp.zeros((1, self.ds.labels.shape[1]), jnp.float32)
             # jitted init: ONE compiled (cacheable) program instead of
             # hundreds of eager dispatches — on the remote-compile relay the
-            # eager path alone took ~15 minutes of startup
-            init_params = jax.jit(diffusion.model.init)(init_rng, dummy_x,
-                                                        dummy_t, dummy_c)
+            # eager path alone took ~15 minutes of startup. Init runs the
+            # XLA train plan: same param tree as the fused plans, without
+            # compiling any Pallas kernel just to create parameters.
+            init_params = jax.jit(self._train_diffusion.model.init)(
+                init_rng, dummy_x, dummy_t, dummy_c)
         self._repl = replicated_sharding(self.mesh)
         self._bsh = batch_sharding(self.mesh)
         # one jitted program builds the whole initial state directly in the
@@ -165,7 +186,7 @@ class Trainer:
         # replicated output: every process can fetch the whole vector (a
         # batch-sharded output is not fully addressable under multi-host)
         self._loss_fn = jax.jit(
-            lambda params, rng, x, c: self.diffusion.loss(
+            lambda params, rng, x, c: self._train_diffusion.loss(
                 params, rng, x, c,
                 null_cond_prob=self.tcfg.null_cond_prob,
                 prob_focus_present=self.tcfg.prob_focus_present,
@@ -193,7 +214,7 @@ class Trainer:
     # ------------------------------------------------------------- train step
     def _build_train_step(self):
         tcfg = self.tcfg
-        diffusion = self.diffusion
+        diffusion = self._train_diffusion  # XLA plans under grad (see __init__)
         tx = self.tx
 
         def train_step(state: TrainState, videos, labels, rng):
