@@ -38,7 +38,20 @@ def time_variant(name, no_temporal=False, no_linear=False, no_mid=False,
                 lambda self, x, **kw: x
         if no_mid:
             u.SpatialAttentionBlock.__call__ = lambda self, x, **kw: x
-        if no_gn:
+        if no_gn == "bf16":
+            # same two-pass structure, statistics in the input dtype:
+            # separates "statistics passes" cost from "fp32 upcast
+            # materialization" cost
+            def _gn_bf16(x, scale, bias, groups, eps=1e-5):
+                b, c = x.shape[0], x.shape[-1]
+                g = x.reshape(b, -1, groups, c // groups)
+                mean = jnp.mean(g, axis=(1, 3), keepdims=True)
+                var = jnp.mean(jnp.square(g - mean), axis=(1, 3),
+                               keepdims=True)
+                out = ((g - mean) / jnp.sqrt(var + eps)).reshape(x.shape)
+                return out * scale.astype(x.dtype) + bias.astype(x.dtype)
+            u.group_norm = _gn_bf16
+        elif no_gn:
             # one-pass elementwise stand-in: isolates the cost of
             # GroupNorm's full-tensor statistics passes (the affine stays
             # so the epilogue fusion structure is unchanged)
@@ -97,6 +110,9 @@ VARIANTS = {
     "convs_only_nogn": dict(no_temporal=True, no_linear=True, no_mid=True,
                             no_gn=True),
     "full_nogn": dict(no_gn=True),
+    "no_mid_only": dict(no_mid=True),
+    "convs_only_gnbf16": dict(no_temporal=True, no_linear=True, no_mid=True,
+                              no_gn="bf16"),
 }
 
 if __name__ == "__main__":
