@@ -12,15 +12,35 @@ activations; norm math stays fp32 for stability) and cast back.
 
 from __future__ import annotations
 
+import os
+
 import jax.numpy as jnp
+
+# One-pass statistics (biased var = E[x^2] - mean^2): both reductions sweep
+# the input once, so XLA can fuse them into a single HBM pass instead of the
+# sequential mean -> centered-var chain. fp32 accumulation keeps the
+# cancellation error ~1e-7 at post-conv activation scales (pinned by
+# tests/test_norms.py). Opt-in until an in-graph bench win is measured
+# (project rule: standalone wins must be confirmed in-graph).
+ONE_PASS_STATS = os.environ.get("VMT_ONEPASS_NORMS", "") not in ("", "0")
+
+
+def _stats(x32: jnp.ndarray, axes) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """fp32 (mean, biased var) over `axes`, one-pass when ONE_PASS_STATS."""
+    mean = jnp.mean(x32, axis=axes, keepdims=True)
+    if ONE_PASS_STATS:
+        meansq = jnp.mean(jnp.square(x32), axis=axes, keepdims=True)
+        var = jnp.maximum(meansq - jnp.square(mean), 0.0)
+    else:
+        var = jnp.mean(jnp.square(x32 - mean), axis=axes, keepdims=True)
+    return mean, var
 
 
 def channel_layer_norm(x: jnp.ndarray, gamma: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
     """x: (..., C) channels-last; gamma: (C,). Scale-only, biased variance."""
     dtype = x.dtype
     x32 = x.astype(jnp.float32)
-    mean = jnp.mean(x32, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+    mean, var = _stats(x32, -1)
     out = (x32 - mean) / jnp.sqrt(var + eps) * gamma.astype(jnp.float32)
     return out.astype(dtype)
 
@@ -38,8 +58,7 @@ def group_norm(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray,
     x32 = x.astype(jnp.float32)
     # (B, rest, groups, C/groups)
     grouped = x32.reshape(b, -1, num_groups, c // num_groups)
-    mean = jnp.mean(grouped, axis=(1, 3), keepdims=True)
-    var = jnp.mean(jnp.square(grouped - mean), axis=(1, 3), keepdims=True)
+    mean, var = _stats(grouped, (1, 3))
     normed = (grouped - mean) / jnp.sqrt(var + eps)
     normed = normed.reshape(x.shape)
     out = normed * scale.astype(jnp.float32) + bias.astype(jnp.float32)
