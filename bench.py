@@ -53,7 +53,12 @@ def main():
     # VMT_BENCH_TEMPORAL_STILE: s-tiled XLA temporal plan (tile size)
     st = os.environ.get("VMT_BENCH_TEMPORAL_STILE", "")
     st = int(st) if st.isdigit() else None
-    cfg = ModelConfig(use_fused_linear_block="level0",
+    # VMT_BENCH_FUSED_LINEAR: same A/B hook for the linear kernel
+    # ('off' | 'level0' | 'all' | int N). Default level0 (measured optimum;
+    # 'all' was in-graph-neutral pre-temporal-kernel, BENCH_NOTES round 2).
+    fl = os.environ.get("VMT_BENCH_FUSED_LINEAR", "level0")
+    fl = int(fl) if fl.isdigit() else (False if fl in ("", "off") else fl)
+    cfg = ModelConfig(use_fused_linear_block=fl,
                       use_fused_temporal_block=ft,
                       temporal_s_tile=st)
     model = UNet3D.from_config(cfg)

@@ -222,7 +222,8 @@ def test_fused_config_trains_on_xla_plan(data_dirs, monkeypatch):
     assert plain._train_diffusion is plain.diffusion
 
     rng = jax.random.PRNGKey(7)
-    v, c = fused.ds.get_batch(np.arange(2))
+    idx = np.arange(fused.global_batch) % len(fused.ds)
+    v, c = fused.ds.get_batch(idx)
     v, c = jnp.asarray(v), jnp.asarray(c)
     sf, lf = fused._train_step(fused.state, v, c, rng)
     sp, lp = plain._train_step(plain.state, v, c, rng)
@@ -234,5 +235,5 @@ def test_fused_config_trains_on_xla_plan(data_dirs, monkeypatch):
 
     # the fused trainer's SAMPLING diffusion consumes the trained params
     fused.state = sf
-    vids = fused.sample_videos(np.asarray(c), guidance_scale=1.0)
+    vids = fused.sample_videos(np.asarray(c)[:2], guidance_scale=1.0)
     assert vids.shape[0] == 2
