@@ -58,9 +58,14 @@ def main():
     # 'all' was in-graph-neutral pre-temporal-kernel, BENCH_NOTES round 2).
     fl = os.environ.get("VMT_BENCH_FUSED_LINEAR", "level0")
     fl = int(fl) if fl.isdigit() else (False if fl in ("", "off") else fl)
+    # VMT_BENCH_BF16_WEIGHTS: A/B hook for bf16 weight copies in the
+    # sampling scans ('off' to disable). Bit-identical output either way
+    # (tests/test_inference_cast.py); only HBM weight traffic changes.
+    bw = os.environ.get("VMT_BENCH_BF16_WEIGHTS", "on") not in ("off", "0")
     cfg = ModelConfig(use_fused_linear_block=fl,
                       use_fused_temporal_block=ft,
-                      temporal_s_tile=st)
+                      temporal_s_tile=st,
+                      bf16_inference_weights=bw)
     model = UNet3D.from_config(cfg)
     diffusion = GaussianDiffusion.from_config(model, cfg)
 

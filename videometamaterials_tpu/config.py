@@ -83,6 +83,10 @@ class ModelConfig:
     temporal_s_tile: int | None = None        # s-tiled XLA temporal plan:
                                               # scan over spatial tiles of
                                               # this size (None = untiled)
+    bf16_inference_weights: bool = True       # bf16 weight copies inside the
+                                              # sampling scans (bit-identical
+                                              # under bf16 compute; halves
+                                              # per-step weight HBM reads)
 
     @property
     def channels(self) -> int:

@@ -27,7 +27,7 @@ from videometamaterials_tpu.ops.schedules import (
     extract,
     make_schedule,
 )
-from videometamaterials_tpu.utils import is_traced
+from videometamaterials_tpu.utils import cast_params_for_inference, is_traced
 
 
 def normalize_img(x):
@@ -57,6 +57,10 @@ class GaussianDiffusion:
     # None = single fused scan. Needed on runtimes that watchdog-kill long
     # single XLA programs; segment boundaries cost only a host dispatch.
     scan_chunk_size: Optional[int] = None
+    # bf16 weight copies inside the sampling scans: halves per-step weight
+    # HBM reads, bit-identical under bf16 compute (utils.py:
+    # cast_params_for_inference). Identity when the model computes in fp32.
+    bf16_inference_weights: bool = True
     schedule: DiffusionSchedule = field(default=None)
 
     def __post_init__(self):
@@ -179,8 +183,20 @@ class GaussianDiffusion:
         nonzero = (t > 0).astype(x.dtype).reshape(-1, *((1,) * (x.ndim - 1)))
         return mean + nonzero * jnp.exp(0.5 * log_var) * noise
 
+    def _inference_params(self, params):
+        """bf16 weight copies for the sampling scans (see the field doc).
+        Called inside the jitted scan programs so the copies never outlive
+        them; XLA hoists the cast out of the scan body, so each chunk pays
+        one fp32 read of the weights and every step reads bf16."""
+        if not self.bf16_inference_weights:
+            return params
+        if getattr(self.model, "compute_dtype", "float32") != "bfloat16":
+            return params
+        return cast_params_for_inference(params)
+
     def _ddpm_scan(self, params, img, rng, ts, cond, guidance_scale):
         """Scan the ancestral chain over the given timestep array."""
+        params = self._inference_params(params)
         b = img.shape[0]
 
         def step(carry, t_scalar):
@@ -227,6 +243,7 @@ class GaussianDiffusion:
         return unnormalize_img(img)
 
     def _ddim_scan(self, params, img, rng, pairs, cond, guidance_scale):
+        params = self._inference_params(params)
         b = img.shape[0]
         eta = self.ddim_sampling_eta
         abar = self.schedule.alphas_cumprod
@@ -301,6 +318,7 @@ class GaussianDiffusion:
                     cond=None):
         """Latent interpolation (vddp.py:1020-1034): noise both inputs to
         step t, mix, then ancestrally denoise t steps."""
+        params = self._inference_params(params)
         t = self.timesteps - 1 if t is None else t
         b = x1.shape[0]
         rng, n1, n2 = jax.random.split(rng, 3)
@@ -390,4 +408,6 @@ class GaussianDiffusion:
             sampling_timesteps=cfg.sampling_timesteps,
             ddim_sampling_eta=cfg.ddim_sampling_eta,
             scan_chunk_size=getattr(cfg, "sample_scan_chunk", None),
+            bf16_inference_weights=getattr(cfg, "bf16_inference_weights",
+                                           True),
         )
