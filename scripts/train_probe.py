@@ -19,6 +19,9 @@ def main():
     p.add_argument("--batch", type=int, default=4)
     p.add_argument("--fused-linear", default="level0")
     p.add_argument("--fused-temporal", default="all")  # production default
+    p.add_argument("--s-tile", type=int, default=0,
+                   help="temporal_s_tile for the XLA plan (0 = untiled); "
+                        "differentiable for free, unlike the Pallas kernels")
     args = p.parse_args()
 
     from videometamaterials_tpu.config import ModelConfig
@@ -30,7 +33,8 @@ def main():
             (int(v) if v.isdigit() else v)
 
     cfg = ModelConfig(use_fused_linear_block=tri(args.fused_linear),
-                      use_fused_temporal_block=tri(args.fused_temporal))
+                      use_fused_temporal_block=tri(args.fused_temporal),
+                      temporal_s_tile=args.s_tile or None)
     model = UNet3D.from_config(cfg)
     diffusion = GaussianDiffusion.from_config(model, cfg)
     tx = optax.adam(cfg.learning_rate)
