@@ -1,0 +1,67 @@
+"""Latency-mode spatial (height-axis) sharding of the sampling chain.
+
+SURVEY.md §2.3 covers throughput via batch sharding; this mode divides a
+SINGLE video's denoising work across the mesh instead — one
+with_sharding_constraint on the scan carry and GSPMD derives the conv halo
+exchanges and attention collectives. These tests pin numerical parity with
+unsharded sampling on the virtual CPU mesh and the fused-kernel guard.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from videometamaterials_tpu.config import ModelConfig
+from videometamaterials_tpu.diffusion import GaussianDiffusion
+from videometamaterials_tpu.models import UNet3D
+from videometamaterials_tpu.parallel.mesh import spatial_video_sharding
+
+
+def _tiny(**kw):
+    base = dict(image_size=16, num_frames=3, unet_dim=8, dim_mults=(1, 2),
+                unet_attn_heads=2, unet_attn_dim_head=4, train_timesteps=6,
+                sampling_timesteps=6, compute_dtype="float32",
+                sample_scan_chunk=None)
+    base.update(kw)
+    cfg = ModelConfig(**base)
+    model = UNet3D.from_config(cfg)
+    x = jnp.zeros((1, cfg.num_frames, cfg.image_size, cfg.image_size,
+                   cfg.channels), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x,
+                        jnp.zeros((1,), jnp.int32),
+                        jnp.zeros((1, cfg.num_frames)))
+    return cfg, model, params
+
+
+def _space_mesh(n):
+    return Mesh(np.asarray(jax.devices()[:n]), ("space",))
+
+
+@pytest.mark.parametrize("chunked", [False, True])
+def test_spatially_sharded_sampling_matches_unsharded(chunked):
+    cfg, model, params = _tiny(sample_scan_chunk=3 if chunked else None)
+    plain = GaussianDiffusion.from_config(model, cfg)
+    spatial = dataclasses.replace(
+        plain, sample_spatial_sharding=spatial_video_sharding(_space_mesh(4)))
+
+    cond = jax.random.uniform(jax.random.PRNGKey(1), (2, cfg.num_frames))
+    rng = jax.random.PRNGKey(2)
+    a = np.asarray(plain.sample(params, rng, cond, guidance_scale=5.0))
+    b = np.asarray(spatial.sample(params, rng, cond, guidance_scale=5.0))
+    # GSPMD may reorder reductions across shards; fp32 tolerance only
+    np.testing.assert_allclose(a, b, atol=2e-4, rtol=2e-4)
+
+
+def test_spatial_sharding_rejects_fused_kernels():
+    cfg, _, _ = _tiny()
+    fused_cfg = dataclasses.replace(cfg, use_fused_temporal_block="all")
+    fused_model = UNet3D.from_config(fused_cfg)
+    base = GaussianDiffusion.from_config(fused_model, fused_cfg)
+    with pytest.raises(ValueError, match="XLA plans"):
+        dataclasses.replace(
+            base,
+            sample_spatial_sharding=spatial_video_sharding(_space_mesh(4)))

@@ -61,6 +61,14 @@ class GaussianDiffusion:
     # HBM reads, bit-identical under bf16 compute (utils.py:
     # cast_params_for_inference). Identity when the model computes in fp32.
     bf16_inference_weights: bool = True
+    # Latency mode: a NamedSharding that partitions the HEIGHT axis of the
+    # sampled video across a mesh (parallel/mesh.py:spatial_video_sharding).
+    # One video's whole denoising chain then runs SPMD across chips —
+    # GSPMD derives conv halo exchanges and attention collectives from this
+    # single constraint on the scan carry. Complements batch sharding
+    # (throughput) with single-sample latency scaling. XLA plans only (the
+    # whole-block Pallas kernels are opaque to GSPMD's spatial partitioner).
+    sample_spatial_sharding: Any = None
     schedule: DiffusionSchedule = field(default=None)
 
     def __post_init__(self):
@@ -70,6 +78,28 @@ class GaussianDiffusion:
         assert st <= self.timesteps
         object.__setattr__(self, "sampling_timesteps", st)
         object.__setattr__(self, "_jit_cache", {})
+        if self.sample_spatial_sharding is not None and (
+                bool(getattr(self.model, "use_fused_linear_block", False))
+                or bool(getattr(self.model, "use_fused_temporal_block",
+                                False))):
+            raise ValueError(
+                "sample_spatial_sharding requires the XLA plans: the "
+                "whole-block Pallas kernels are opaque custom calls that "
+                "GSPMD cannot spatially partition (build the model with "
+                "use_fused_*_block=False for latency-mode sampling)")
+
+    def _constrain_spatial(self, img):
+        """Pin the scan carry to the latency-mode height sharding (no-op
+        when unset). Re-asserted every step so GSPMD keeps the partitioned
+        layout through the whole chain instead of drifting to replicated.
+        Under a trace this is a sharding constraint; on the concrete init
+        array of the host-driven chunked path it is a device_put."""
+        if self.sample_spatial_sharding is None:
+            return img
+        if is_traced(img):
+            return jax.lax.with_sharding_constraint(
+                img, self.sample_spatial_sharding)
+        return jax.device_put(img, self.sample_spatial_sharding)
 
     # ------------------------------------------------------------------ util
     @property
@@ -203,7 +233,8 @@ class GaussianDiffusion:
             img, key = carry
             key, sub = jax.random.split(key)
             t_vec = jnp.full((b,), t_scalar, dtype=jnp.int32)
-            img = self.p_sample(params, sub, img, t_vec, cond, guidance_scale)
+            img = self._constrain_spatial(
+                self.p_sample(params, sub, img, t_vec, cond, guidance_scale))
             return (img, key), None
 
         (img, rng), _ = jax.lax.scan(step, (img, rng), ts)
@@ -214,7 +245,8 @@ class GaussianDiffusion:
         with scan_chunk_size — host-driven segments of a single compiled
         chunk program."""
         rng, init_rng = jax.random.split(rng)
-        img = jax.random.normal(init_rng, shape, jnp.float32)
+        img = self._constrain_spatial(
+            jax.random.normal(init_rng, shape, jnp.float32))
         ts = jnp.arange(self.timesteps - 1, -1, -1)
 
         # inside an outer jit trace, host-driven chunking is impossible (and
@@ -265,7 +297,8 @@ class GaussianDiffusion:
             noise = jax.random.normal(sub, img.shape, img.dtype)
             img_next = (x_start * jnp.sqrt(alpha_next) + c * eps
                         + sigma * noise)
-            img = jnp.where(t_next < 0, x_start, img_next)
+            img = self._constrain_spatial(
+                jnp.where(t_next < 0, x_start, img_next))
             return (img, key), None
 
         (img, rng), _ = jax.lax.scan(step, (img, rng), pairs)
@@ -280,7 +313,8 @@ class GaussianDiffusion:
         pairs = np.asarray(list(zip(times[:-1], times[1:])), dtype=np.int32)
 
         rng, init_rng = jax.random.split(rng)
-        img = jax.random.normal(init_rng, shape, jnp.float32)
+        img = self._constrain_spatial(
+            jax.random.normal(init_rng, shape, jnp.float32))
 
         if not self.scan_chunk_size or is_traced(img):
             img, _ = self._ddim_scan(params, img, rng, jnp.asarray(pairs),

@@ -97,3 +97,17 @@ def shard_cond_batch(cond: np.ndarray, mesh: Mesh,
     padded, n = pad_to_multiple(np.asarray(cond), n_dev)
     arr = jax.device_put(padded, batch_sharding(mesh, axis_name))
     return arr, n
+
+
+def spatial_video_sharding(mesh: Mesh,
+                           axis_name: str = "space") -> NamedSharding:
+    """Latency-mode sharding: partition the HEIGHT axis of (B, F, H, W, C)
+    video tensors across the mesh, so ONE video's denoising chain runs on
+    every chip at once (SPMD spatial partitioning). Batch sharding scales
+    THROUGHPUT but a single sample still takes the full 256-step chain on
+    one chip; height sharding divides the per-step work instead — XLA/GSPMD
+    inserts the 3x3-conv halo exchanges (collective-permutes of one-row
+    edges) and attention all-gathers over ICI automatically from this one
+    annotation. Use via GaussianDiffusion(sample_spatial_sharding=...);
+    H must divide by the mesh size (96 = 12 rows x 8 chips flagship)."""
+    return NamedSharding(mesh, P(None, None, axis_name))
