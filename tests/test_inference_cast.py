@@ -97,6 +97,26 @@ def test_sample_bit_identical(sampler):
     np.testing.assert_array_equal(np.asarray(va), np.asarray(vb))
 
 
+def test_sample_bit_identical_with_fused_kernels(monkeypatch):
+    """Production composition: fused Pallas blocks (interpret mode) + bf16
+    weight copies. The kernels consume the same pre-cast leaves via
+    .astype(compute_dtype), so bit-identity must survive the kernel path."""
+    monkeypatch.setenv("VMT_PALLAS_INTERPRET", "1")
+    cfg = _tiny_cfg(unet_attn_heads=4, unet_attn_dim_head=32,  # hidden=128
+                    use_fused_temporal_block="all",
+                    use_fused_linear_block="all",
+                    train_timesteps=3, sampling_timesteps=3)
+    model, params = _init(cfg)
+    cond = jax.random.uniform(jax.random.PRNGKey(3), (2, cfg.num_frames))
+    on = GaussianDiffusion.from_config(model, cfg)
+    off = GaussianDiffusion.from_config(
+        model, cfg.replace(bf16_inference_weights=False))
+    rng = jax.random.PRNGKey(4)
+    va = on.sample(params, rng, cond, guidance_scale=5.0)
+    vb = off.sample(params, rng, cond, guidance_scale=5.0)
+    np.testing.assert_array_equal(np.asarray(va), np.asarray(vb))
+
+
 def test_fp32_model_is_identity():
     cfg = _tiny_cfg(compute_dtype="float32")
     model, params = _init(cfg)
