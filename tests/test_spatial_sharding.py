@@ -18,7 +18,10 @@ from jax.sharding import Mesh
 from videometamaterials_tpu.config import ModelConfig
 from videometamaterials_tpu.diffusion import GaussianDiffusion
 from videometamaterials_tpu.models import UNet3D
-from videometamaterials_tpu.parallel.mesh import spatial_video_sharding
+from videometamaterials_tpu.parallel.mesh import (
+    frame_video_sharding,
+    spatial_video_sharding,
+)
 
 
 def _tiny(**kw):
@@ -53,6 +56,22 @@ def test_spatially_sharded_sampling_matches_unsharded(chunked):
     a = np.asarray(plain.sample(params, rng, cond, guidance_scale=5.0))
     b = np.asarray(spatial.sample(params, rng, cond, guidance_scale=5.0))
     # GSPMD may reorder reductions across shards; fp32 tolerance only
+    np.testing.assert_allclose(a, b, atol=2e-4, rtol=2e-4)
+
+
+def test_frame_sharded_sampling_matches_unsharded():
+    """Sequence-parallel variant (SURVEY.md §5.7): FRAME axis sharded —
+    halo-free convs, temporal-attention K/V all-gathers over 'seq'."""
+    cfg, model, params = _tiny(num_frames=4)
+    plain = GaussianDiffusion.from_config(model, cfg)
+    mesh = Mesh(np.asarray(jax.devices()[:4]), ("seq",))
+    seq = dataclasses.replace(
+        plain, sample_spatial_sharding=frame_video_sharding(mesh))
+
+    cond = jax.random.uniform(jax.random.PRNGKey(1), (2, cfg.num_frames))
+    rng = jax.random.PRNGKey(2)
+    a = np.asarray(plain.sample(params, rng, cond, guidance_scale=5.0))
+    b = np.asarray(seq.sample(params, rng, cond, guidance_scale=5.0))
     np.testing.assert_allclose(a, b, atol=2e-4, rtol=2e-4)
 
 

@@ -14,14 +14,17 @@ stack (SURVEY.md §2.3, §5.8):
     slice off the padding — barriers are implicit in SPMD program order;
   - multi-host entry: jax.distributed.initialize() (initialize_distributed()).
 
-Extension point (SURVEY.md §5.7): the reference needs no sequence/context
-parallelism — the temporal axis is 11 frames and attention is factorized, so
-no op sees more than 11 temporal tokens or 144 spatial tokens at the
-bottleneck. If frame counts grow by orders of magnitude, add a second mesh
-axis (('data', 'seq')) and shard the frame dimension of the video tensors
-with NamedSharding(P('data', 'seq')); the temporal attention would then need
-a ring/all-gather of K/V over 'seq' — none of which is warranted at
-reference scale.
+Sequence/context parallelism (SURVEY.md §5.7): the reference needs none —
+the temporal axis is 11 frames and attention is factorized, so no op sees
+more than 11 temporal tokens or 144 spatial tokens at the bottleneck. For
+configs that outgrow a chip, the sampling chain supports model-axis
+sharding via one constraint on the scan carry
+(GaussianDiffusion.sample_spatial_sharding): spatial_video_sharding
+partitions the HEIGHT axis (GSPMD conv halo exchanges + attention
+collectives — the single-sample latency mode), frame_video_sharding
+partitions the FRAME axis (halo-free convs, K/V all-gathers over 'seq' in
+temporal attention). Both are parity-tested on the virtual CPU mesh
+(tests/test_spatial_sharding.py).
 """
 
 from __future__ import annotations
@@ -97,6 +100,19 @@ def shard_cond_batch(cond: np.ndarray, mesh: Mesh,
     padded, n = pad_to_multiple(np.asarray(cond), n_dev)
     arr = jax.device_put(padded, batch_sharding(mesh, axis_name))
     return arr, n
+
+
+def frame_video_sharding(mesh: Mesh,
+                         axis_name: str = "seq") -> NamedSharding:
+    """Sequence-parallel sharding (SURVEY.md §5.7): partition the FRAME axis
+    of (B, F, H, W, C) video tensors across the mesh. Convs are
+    frame-independent (frames fold into batch — no halos at all); temporal
+    attention sees all frames, so GSPMD inserts K/V all-gathers over 'seq'.
+    At the reference's 11 frames this is never the right trade — it exists
+    for long-video configs where the frame axis outgrows a chip. Same usage
+    as spatial_video_sharding (GaussianDiffusion.sample_spatial_sharding
+    accepts either; the constraint is layout-agnostic)."""
+    return NamedSharding(mesh, P(None, axis_name))
 
 
 def spatial_video_sharding(mesh: Mesh,
