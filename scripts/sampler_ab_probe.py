@@ -45,6 +45,10 @@ def main():
     ap.add_argument("--arms", default="default,onepass")
     ap.add_argument("--rounds", type=int, default=3)
     ap.add_argument("--batch", type=int, default=4)
+    # the relay MEMOIZES identical (program, inputs) executions; a per-process
+    # salt keeps repeat probe invocations from replaying cached results
+    import os
+    ap.add_argument("--salt", type=int, default=os.getpid() % 100_000)
     args = ap.parse_args()
 
     from videometamaterials_tpu.config import ModelConfig
@@ -83,8 +87,9 @@ def main():
     for i in range(args.rounds):
         for n, (_, d) in arms.items():
             t0 = time.perf_counter()
-            out = d.sample(params, jax.random.fold_in(rng, i), cond,
-                           guidance_scale=5.0)
+            out = d.sample(params,
+                           jax.random.fold_in(rng, args.salt * 100 + i),
+                           cond, guidance_scale=5.0)
             jax.block_until_ready(out)
             dt = time.perf_counter() - t0
             best[n] = min(best[n], dt)
