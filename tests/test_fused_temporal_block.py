@@ -152,3 +152,35 @@ def test_focus_present_falls_back_to_xla(monkeypatch):
         params, x, focus_present_mask=mask)
     np.testing.assert_allclose(np.asarray(out, np.float32),
                                np.asarray(want, np.float32))
+
+
+def test_module_stiled_gradients_match_temporal_xla():
+    """The s-tiled plan is pure XLA and differentiable for free — gradient
+    parity with the untiled plan is the precondition for running it in the
+    TRAIN step (scripts/train_probe.py --s-tile). fp32 for tolerance."""
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (B, F, 16, 16, C)) * 0.5
+    label = jax.random.normal(rng, (B, F, 32)) * 0.5
+    pos_bias = jax.random.normal(rng, (HEADS, F, F)) * 0.3
+    kw = dict(dim=C, heads=HEADS, dim_head=D, use_rotary=True,
+              cond_attention="self-stacked", cond_dim=32,
+              per_frame_cond=True, dtype=jnp.float32)
+    block_x = TemporalAttentionBlock(**kw)
+    block_s = TemporalAttentionBlock(**kw, s_tile=64)   # 256 = 4 tiles
+    params = block_x.init(rng, x, pos_bias=pos_bias, label_emb=label)
+
+    def loss(blk, p, xx):
+        out = blk.apply(p, xx, pos_bias=pos_bias, label_emb=label)
+        return jnp.sum(out ** 2)
+
+    lx, gx = jax.value_and_grad(lambda p: loss(block_x, p, x))(params)
+    ls, gs = jax.value_and_grad(lambda p: loss(block_s, p, x))(params)
+    np.testing.assert_allclose(float(lx), float(ls), rtol=1e-5)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5),
+        gx, gs)
+    dxa = jax.grad(lambda xx: loss(block_x, params, xx))(x)
+    dxb = jax.grad(lambda xx: loss(block_s, params, xx))(x)
+    np.testing.assert_allclose(np.asarray(dxa), np.asarray(dxb),
+                               rtol=2e-4, atol=2e-5)
