@@ -184,3 +184,24 @@ def test_module_stiled_gradients_match_temporal_xla():
     dxb = jax.grad(lambda xx: loss(block_s, params, xx))(x)
     np.testing.assert_allclose(np.asarray(dxa), np.asarray(dxb),
                                rtol=2e-4, atol=2e-5)
+
+
+def test_backward_bias_grad_matches_reference():
+    """Regression: bias_all carries the TRAINABLE relative position bias;
+    its cotangent was once dropped (None), silently freezing rel_pos_bias
+    under fused_blocks_in_training."""
+    x, gamma, w_all, w_out, ek, ev, bias_all = _inputs(F)
+
+    def loss(fn, b_):
+        return jnp.sum(fn(b_).astype(jnp.float32) ** 2)
+
+    gb_f = jax.grad(lambda b_: loss(
+        lambda bb: fused_temporal_block(x, gamma, w_all, w_out, ek, ev, bb,
+                                        heads=HEADS, tile=128,
+                                        interpret=True), b_))(bias_all)
+    gb_r = jax.grad(lambda b_: loss(
+        lambda bb: reference_temporal_block(x, gamma, w_all, w_out, ek, ev,
+                                            bb, heads=HEADS), b_))(bias_all)
+    assert float(jnp.max(jnp.abs(gb_f))) > 0.0
+    np.testing.assert_allclose(np.asarray(gb_f), np.asarray(gb_r),
+                               rtol=1e-1, atol=1e-1)

@@ -203,11 +203,16 @@ def _core_fwd(x, gamma, w_all, w_out, ek, ev, bias_all, heads, tile,
 
 def _core_bwd(heads, tile, interpret, residuals, g):
     x, gamma, w_all, w_out, ek, ev, bias_all = residuals
+    # bias_all is differentiable too: it carries the TRAINABLE relative
+    # position bias (models/unet3d.py:_temporal_bias_all), which would
+    # silently stop training under fused_blocks_in_training if its
+    # cotangent were dropped
     _, vjp = jax.vjp(
-        lambda x_, gamma_, w_all_, w_out_, ek_, ev_: reference_temporal_block(
-            x_, gamma_, w_all_, w_out_, ek_, ev_, bias_all, heads=heads),
-        x, gamma, w_all, w_out, ek, ev)
-    return (*vjp(g), None)
+        lambda x_, gamma_, w_all_, w_out_, ek_, ev_, bias_: (
+            reference_temporal_block(
+                x_, gamma_, w_all_, w_out_, ek_, ev_, bias_, heads=heads)),
+        x, gamma, w_all, w_out, ek, ev, bias_all)
+    return vjp(g)
 
 
 fused_temporal_block_core.defvjp(_core_fwd, _core_bwd)
