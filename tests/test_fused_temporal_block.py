@@ -205,3 +205,83 @@ def test_backward_bias_grad_matches_reference():
     assert float(jnp.max(jnp.abs(gb_f))) > 0.0
     np.testing.assert_allclose(np.asarray(gb_f), np.asarray(gb_r),
                                rtol=1e-1, atol=1e-1)
+
+
+@pytest.mark.parametrize("n_cond", [0, F])
+def test_backward_kernel_matches_xla_vjp(n_cond, monkeypatch):
+    """VMT_TEMPORAL_BWD_KERNEL=1 swaps the custom-VJP backward from the
+    XLA-reference vjp to the whole-block backward Pallas kernel; every
+    cotangent (x, gamma, w_all, w_out, ek, ev, bias_all) must agree."""
+    x, gamma, w_all, w_out, ek, ev, bias_all = _inputs(n_cond)
+
+    def grads(with_kernel):
+        if with_kernel:
+            monkeypatch.setenv("VMT_TEMPORAL_BWD_KERNEL", "1")
+        else:
+            monkeypatch.delenv("VMT_TEMPORAL_BWD_KERNEL", raising=False)
+        if n_cond:
+            def loss(x_, gamma_, w_all_, w_out_, ek_, ev_, b_):
+                out = fused_temporal_block(x_, gamma_, w_all_, w_out_,
+                                           ek_, ev_, b_, heads=HEADS,
+                                           tile=128, interpret=True)
+                return jnp.sum(out.astype(jnp.float32) ** 2)
+            return jax.grad(loss, argnums=tuple(range(7)))(
+                x, gamma, w_all, w_out, ek, ev, bias_all)
+        def loss(x_, gamma_, w_all_, w_out_, b_):
+            out = fused_temporal_block(x_, gamma_, w_all_, w_out_,
+                                       None, None, b_, heads=HEADS,
+                                       tile=128, interpret=True)
+            return jnp.sum(out.astype(jnp.float32) ** 2)
+        return jax.grad(loss, argnums=tuple(range(5)))(
+            x, gamma, w_all, w_out, bias_all)
+
+    ref = grads(False)
+    got = grads(True)
+    names = (("x", "gamma", "w_all", "w_out", "ek", "ev", "bias_all")
+             if n_cond else ("x", "gamma", "w_all", "w_out", "bias_all"))
+    for name, a, b_ in zip(names, got, ref):
+        a32, b32 = np.asarray(a, np.float32), np.asarray(b_, np.float32)
+        scale = max(np.abs(b32).max(), 1e-3)
+        np.testing.assert_allclose(a32 / scale, b32 / scale,
+                                   rtol=0, atol=5e-2, err_msg=name)
+        assert np.abs(a32).max() > 0, name
+
+
+def test_module_fused_grads_match_unfused(monkeypatch):
+    """Module-level: grads (params, x, pos_bias) through the fused block —
+    with the backward kernel on — match the temporal_xla plan. Covers the
+    bias_all construction (.at[].set of pos_bias) and rotary-fold paths."""
+    monkeypatch.setenv("VMT_PALLAS_INTERPRET", "1")
+    monkeypatch.setenv("VMT_TEMPORAL_BWD_KERNEL", "1")
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (B, F, 16, 16, C), jnp.bfloat16) * 0.5
+    label = jax.random.normal(rng, (B, F, 32), jnp.float32) * 0.5
+    pos_bias = jax.random.normal(rng, (HEADS, F, F), jnp.float32) * 0.3
+    kw = dict(dim=C, heads=HEADS, dim_head=D, use_rotary=True,
+              cond_attention="self-stacked", cond_dim=32,
+              per_frame_cond=True, dtype=jnp.bfloat16)
+    block_x = TemporalAttentionBlock(**kw, use_fused_block=False)
+    block_f = TemporalAttentionBlock(**kw, use_fused_block=True)
+    params = block_x.init(rng, x, pos_bias=pos_bias, label_emb=label)
+
+    def loss(blk, p, xx, pb):
+        out = blk.apply(p, xx, pos_bias=pb, label_emb=label)
+        return jnp.sum(out.astype(jnp.float32) ** 2)
+
+    gp_x, gx_x, gb_x = jax.grad(
+        lambda p, xx, pb: loss(block_x, p, xx, pb),
+        argnums=(0, 1, 2))(params, x, pos_bias)
+    gp_f, gx_f, gb_f = jax.grad(
+        lambda p, xx, pb: loss(block_f, p, xx, pb),
+        argnums=(0, 1, 2))(params, x, pos_bias)
+
+    def close(a, b, name):
+        a32, b32 = np.asarray(a, np.float32), np.asarray(b, np.float32)
+        scale = max(np.abs(b32).max(), 1e-3)
+        np.testing.assert_allclose(a32 / scale, b32 / scale,
+                                   rtol=0, atol=5e-2, err_msg=name)
+
+    jax.tree_util.tree_map(lambda a, b: close(a, b, "params"), gp_f, gp_x)
+    close(gx_f, gx_x, "x")
+    close(gb_f, gb_x, "pos_bias")
+    assert float(jnp.max(jnp.abs(gb_f))) > 0

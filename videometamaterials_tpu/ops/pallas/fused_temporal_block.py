@@ -32,9 +32,15 @@ ledger in BENCH_NOTES.md for the three losing formulations):
   - frames (11) and the token loop are fully unrolled Python; softmax
     statistics stay in f32 registers; only x and out touch HBM.
 
-Backward: jax.custom_vjp with the backward taken from the numerically
-equivalent XLA reference (`reference_temporal_block`), so the block remains
-trainable while inference uses the kernel.
+Backward: jax.custom_vjp. Default backward is the vjp of the numerically
+equivalent XLA reference (`reference_temporal_block`) — under grad the
+block then costs kernel_fwd + xla_fwd + xla_bwd (the reason the Trainer's
+plan split trains on XLA plans). Opt-in VMT_TEMPORAL_BWD_KERNEL=1 switches
+to a whole-block BACKWARD Pallas kernel (`_bwd_kernel`): it recomputes the
+forward VMEM-resident and emits all seven cotangents in one pass, so HBM
+traffic is one read of (x, g) and one write of dx plus the small parameter
+grads — the same roofline argument as the forward kernel. Interpret-mode
+parity with the XLA vjp is pinned in tests/test_fused_temporal_block.py.
 """
 
 from __future__ import annotations
@@ -138,6 +144,179 @@ def _kernel(x_ref, gamma_ref, wall_ref, wout_ref, bias_ref, *refs,
                          + out_f).astype(out_ref.dtype)
 
 
+def _bwd_kernel(x_ref, gamma_ref, wall_ref, wout_ref, bias_ref, *refs,
+                f: int, heads: int, d: int, has_cond: bool, t_tok: int):
+    """Whole-block backward: recompute the forward VMEM-resident, then emit
+    every cotangent. Layout rules are the forward kernel's (merged-heads
+    lanes, selector/expand matmuls for segmented head reductions); column
+    sums lower as (1, TS) @ (TS, N) MXU matmuls (sublane multi_reductions
+    do not lower — BENCH_NOTES kernel ledger). Grid-accumulated outputs
+    (dgamma/dwall/dwout/dbias; dek/dev per batch row) follow the Pallas
+    revisited-block pattern: zeroed on their first visit, += after."""
+    if has_cond:
+        (ek_ref, ev_ref, g_ref, dx_ref, dgamma_ref, dwall_ref, dwout_ref,
+         dbias_ref, dek_ref, dev_ref) = refs
+    else:
+        (g_ref, dx_ref, dgamma_ref, dwall_ref, dwout_ref, dbias_ref) = refs
+    hidden = heads * d
+    ts = x_ref.shape[2]
+    c = x_ref.shape[3]
+    sel = _selector(hidden, heads, jnp.bfloat16)          # (hidden, heads)
+    expand = sel.T                                        # (heads, hidden)
+    ones_bf = jnp.ones((1, ts), jnp.bfloat16)
+
+    def mm(a, b):
+        return jax.lax.dot_general(
+            a, b, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    def mm_ts(a, b):  # contract the TS (row) axis: (TS, M)^T @ (TS, N)
+        return jax.lax.dot_general(
+            a, b, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    def mm_cT(a, b):  # (TS, N) @ (M, N)^T
+        return jax.lax.dot_general(
+            a, b, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    def colsum(a):    # (TS, N) -> (1, N) via MXU (sublane reduce workaround)
+        return mm(ones_bf, a.astype(jnp.bfloat16))
+
+    first = (pl.program_id(0) == 0) & (pl.program_id(1) == 0)
+
+    @pl.when(first)
+    def _init_global():
+        dgamma_ref[...] = jnp.zeros_like(dgamma_ref)
+        dwall_ref[...] = jnp.zeros_like(dwall_ref)
+        dwout_ref[...] = jnp.zeros_like(dwout_ref)
+        dbias_ref[...] = jnp.zeros_like(dbias_ref)
+
+    if has_cond:
+        @pl.when(pl.program_id(1) == 0)
+        def _init_batch():
+            dek_ref[...] = jnp.zeros_like(dek_ref)
+            dev_ref[...] = jnp.zeros_like(dev_ref)
+
+    gamma = gamma_ref[0]                                  # (1, C) f32 row
+
+    # ---- forward recompute: LN stats + folded QKV, kept resident
+    q, k, v, xhat, inv_sig, ys, gs = [], [], [], [], [], [], []
+    for fi in range(f):
+        xf = x_ref[0, fi]                                 # (TS, C)
+        x32 = xf.astype(jnp.float32)
+        mu = jnp.mean(x32, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(x32 - mu), axis=-1, keepdims=True)
+        isg = jax.lax.rsqrt(var + 1e-5)
+        xh = (x32 - mu) * isg
+        y = (xh * gamma).astype(jnp.bfloat16)
+        qkv = mm(y, wall_ref[fi]).astype(jnp.bfloat16)
+        q.append(qkv[:, :hidden])
+        k.append(qkv[:, hidden:2 * hidden])
+        v.append(qkv[:, 2 * hidden:])
+        xhat.append(xh)
+        inv_sig.append(isg)
+        ys.append(y)
+        gs.append(g_ref[0, fi])                           # (TS, C) cotangent
+
+    ekh, evh = [], []
+    if has_cond:
+        for ti in range(t_tok):
+            ekh.append(ek_ref[0, ti].reshape(1, hidden))
+            evh.append(ev_ref[0, ti].reshape(1, hidden))
+
+    bias = bias_ref[...]
+    w_out_mat = wout_ref[...]                             # (hidden, C) bf16
+
+    dq = [None] * f
+    dk = [jnp.zeros((ts, hidden), jnp.float32) for _ in range(f)]
+    dv = [jnp.zeros((ts, hidden), jnp.float32) for _ in range(f)]
+    dek_acc = [jnp.zeros((1, hidden), jnp.float32) for _ in range(t_tok)]
+    dev_acc = [jnp.zeros((1, hidden), jnp.float32) for _ in range(t_tok)]
+    dwout_acc = jnp.zeros((hidden, c), jnp.float32)
+    dbias_rows = []                                       # f x (f+t) of (1,H)
+
+    for i in range(f):
+        q_i = q[i]
+        # --- recompute scores/softmax for query frame i
+        sims = []
+        for j in range(f):
+            sims.append(mm(q_i * k[j], sel) + bias[i, j].reshape(1, heads))
+        for ti in range(t_tok):
+            sims.append(mm(q_i * ekh[ti].astype(jnp.bfloat16), sel)
+                        + bias[i, f + ti].reshape(1, heads))
+        m = sims[0]
+        for s_ in sims[1:]:
+            m = jnp.maximum(m, s_)
+        es = [jnp.exp(s_ - m) for s_ in sims]
+        z = es[0]
+        for e_ in es[1:]:
+            z = z + e_
+        inv_z = 1.0 / z
+        p = [e_ * inv_z for e_ in es]                     # (TS, heads) f32
+
+        # --- acc recompute + dv/dp in one pass
+        g_i = gs[i]
+        g_acc32 = mm_cT(g_i, w_out_mat)                   # (TS, hidden) f32
+        g_acc = g_acc32.astype(jnp.bfloat16)
+        acc = jnp.zeros((ts, hidden), jnp.float32)
+        dp = []
+        for j in range(f):
+            a_pj = mm(p[j].astype(jnp.bfloat16), expand)  # (TS, hidden) f32
+            acc = acc + a_pj * v[j].astype(jnp.float32)
+            dv[j] = dv[j] + a_pj * g_acc32
+            dp.append(mm(g_acc * v[j], sel))              # (TS, heads) f32
+        for ti in range(t_tok):
+            a_pc = mm(p[f + ti].astype(jnp.bfloat16), expand)
+            ev_t = evh[ti].astype(jnp.float32)
+            acc = acc + a_pc * ev_t
+            dev_acc[ti] = dev_acc[ti] + colsum(a_pc * g_acc32)
+            dp.append(mm(g_acc * evh[ti].astype(jnp.bfloat16), sel))
+
+        dwout_acc = dwout_acc + mm_ts(acc.astype(jnp.bfloat16), g_i)
+
+        # --- softmax backward
+        t_sum = p[0] * dp[0]
+        for mi in range(1, f + t_tok):
+            t_sum = t_sum + p[mi] * dp[mi]
+        ds = [p[mi] * (dp[mi] - t_sum) for mi in range(f + t_tok)]
+        dbias_rows.append([colsum(ds_m) for ds_m in ds])  # (1, heads) each
+
+        # --- score backward: dq_i, dk_j, dek_t
+        dq_i = jnp.zeros((ts, hidden), jnp.float32)
+        for j in range(f):
+            e_ds = mm(ds[j].astype(jnp.bfloat16), expand)  # (TS, hidden) f32
+            dq_i = dq_i + e_ds * k[j].astype(jnp.float32)
+            dk[j] = dk[j] + e_ds * q_i.astype(jnp.float32)
+        for ti in range(t_tok):
+            e_ds = mm(ds[f + ti].astype(jnp.bfloat16), expand)
+            dq_i = dq_i + e_ds * ekh[ti].astype(jnp.float32)
+            dek_acc[ti] = dek_acc[ti] + colsum(
+                e_ds * q_i.astype(jnp.float32))
+        dq[i] = dq_i
+
+    # --- per-frame projection + LN backward
+    for fi in range(f):
+        dqkv = jnp.concatenate(
+            [dq[fi], dk[fi], dv[fi]], axis=1).astype(jnp.bfloat16)
+        dwall_ref[fi] += mm_ts(ys[fi], dqkv)              # (C, 3*hidden)
+        dy = mm_cT(dqkv, wall_ref[fi])                    # (TS, C) f32
+        dgamma_ref[...] += colsum(xhat[fi] * dy)
+        dxh = dy * gamma
+        m1 = jnp.mean(dxh, axis=-1, keepdims=True)
+        m2 = jnp.mean(dxh * xhat[fi], axis=-1, keepdims=True)
+        dx_f = inv_sig[fi] * (dxh - m1 - xhat[fi] * m2)
+        dx_ref[0, fi] = (gs[fi].astype(jnp.float32)
+                         + dx_f).astype(dx_ref.dtype)
+
+    dwout_ref[...] += dwout_acc
+    dbias_ref[...] += jnp.stack(
+        [jnp.concatenate(rows, axis=0) for rows in dbias_rows])
+    if has_cond:
+        dek_ref[...] += jnp.stack(dek_acc, axis=1)      # (1, T, hidden)
+        dev_ref[...] += jnp.stack(dev_acc, axis=1)
+
+
 def reference_temporal_block(x, gamma, w_all, w_out, ek, ev, bias_all, *,
                              heads: int):
     """Pure-XLA twin of the kernel math (the frames-major temporal_xla
@@ -201,7 +380,15 @@ def _core_fwd(x, gamma, w_all, w_out, ek, ev, bias_all, heads, tile,
     return out, (x, gamma, w_all, w_out, ek, ev, bias_all)
 
 
+def _bwd_kernel_enabled() -> bool:
+    import os
+    return os.environ.get("VMT_TEMPORAL_BWD_KERNEL", "") == "1"
+
+
 def _core_bwd(heads, tile, interpret, residuals, g):
+    if _bwd_kernel_enabled():
+        return _run_bwd_kernel(residuals, g, heads=heads, tile=tile,
+                               interpret=interpret)
     x, gamma, w_all, w_out, ek, ev, bias_all = residuals
     # bias_all is differentiable too: it carries the TRAINABLE relative
     # position bias (models/unet3d.py:_temporal_bias_all), which would
@@ -213,6 +400,92 @@ def _core_bwd(heads, tile, interpret, residuals, g):
                 x_, gamma_, w_all_, w_out_, ek_, ev_, bias_, heads=heads)),
         x, gamma, w_all, w_out, ek, ev, bias_all)
     return vjp(g)
+
+
+def _run_bwd_kernel(residuals, g, *, heads, tile, interpret):
+    """pallas_call plumbing for _bwd_kernel. Returns the seven cotangents
+    in the custom-VJP argument order, cast back to the primal dtypes.
+    Grid-accumulated grads come out in f32 (the accumulation dtype)."""
+    x, gamma, w_all, w_out, ek, ev, bias_all = residuals
+    b, f, s, c = x.shape
+    hidden = w_out.shape[0]
+    d = hidden // heads
+    has_cond = ek is not None
+    t_tok = ek.shape[1] if has_cond else 0
+    tile = tile or _pick_tile(s)
+    assert s % tile == 0, (s, tile)
+
+    gamma2 = gamma.reshape(1, -1).astype(jnp.float32)
+    bias2 = bias_all.astype(jnp.float32)
+
+    grid = (b, s // tile)
+    kernel = functools.partial(_bwd_kernel, f=f, heads=heads, d=d,
+                               has_cond=has_cond, t_tok=t_tok)
+    x_spec = pl.BlockSpec((1, f, tile, c), lambda bi, ti: (bi, 0, ti, 0),
+                          memory_space=pltpu.VMEM)
+    in_specs = [
+        x_spec,
+        pl.BlockSpec((1, c), lambda bi, ti: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((f, c, 3 * hidden), lambda bi, ti: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((hidden, c), lambda bi, ti: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((f, f + t_tok, heads), lambda bi, ti: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands = [x, gamma2, w_all.astype(jnp.bfloat16),
+                w_out.astype(jnp.bfloat16), bias2]
+    cond_spec = pl.BlockSpec((1, t_tok, hidden), lambda bi, ti: (bi, 0, 0),
+                             memory_space=pltpu.VMEM)
+    if has_cond:
+        in_specs += [cond_spec, cond_spec]
+        operands += [ek.astype(jnp.bfloat16), ev.astype(jnp.bfloat16)]
+    in_specs.append(x_spec)                                # g
+    operands.append(g.astype(x.dtype))
+
+    out_shapes = [
+        jax.ShapeDtypeStruct((b, f, s, c), x.dtype),               # dx
+        jax.ShapeDtypeStruct((1, c), jnp.float32),                 # dgamma
+        jax.ShapeDtypeStruct((f, c, 3 * hidden), jnp.float32),     # dwall
+        jax.ShapeDtypeStruct((hidden, c), jnp.float32),            # dwout
+        jax.ShapeDtypeStruct((f, f + t_tok, heads), jnp.float32),  # dbias
+    ]
+    out_specs = [
+        x_spec,
+        pl.BlockSpec((1, c), lambda bi, ti: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((f, c, 3 * hidden), lambda bi, ti: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((hidden, c), lambda bi, ti: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((f, f + t_tok, heads), lambda bi, ti: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    if has_cond:
+        out_shapes += [jax.ShapeDtypeStruct((b, t_tok, hidden), jnp.float32),
+                       jax.ShapeDtypeStruct((b, t_tok, hidden), jnp.float32)]
+        out_specs += [cond_spec, cond_spec]
+
+    outs = pl.pallas_call(
+        kernel,
+        out_shape=out_shapes,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(*operands)
+
+    dx, dgamma, dwall, dwout, dbias = outs[:5]
+    dek = dev = None
+    if has_cond:
+        dek = outs[5].astype(ek.dtype)
+        dev = outs[6].astype(ev.dtype)
+    return (dx, dgamma.reshape(gamma.shape).astype(gamma.dtype),
+            dwall.astype(w_all.dtype), dwout.astype(w_out.dtype),
+            dek, dev, dbias.astype(bias_all.dtype))
 
 
 fused_temporal_block_core.defvjp(_core_fwd, _core_bwd)
