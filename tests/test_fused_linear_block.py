@@ -148,3 +148,41 @@ def test_kernel_is_differentiable():
                                rtol=1e-3, atol=1e-3)
     np.testing.assert_allclose(np.asarray(gw_f), np.asarray(gw_r),
                                rtol=1e-3, atol=1e-3)
+
+
+@pytest.mark.parametrize("n_cond", [0, 6])
+def test_backward_kernel_matches_xla_vjp(n_cond, monkeypatch):
+    """VMT_LINEAR_BWD_KERNEL=1 swaps the custom-VJP backward from the XLA
+    vjp to the whole-block backward kernel; all cotangents must agree."""
+    x, gamma, w_qkv, w_out, out_bias, ek, ev = _inputs(n_cond)
+
+    def grads(with_kernel):
+        if with_kernel:
+            monkeypatch.setenv("VMT_LINEAR_BWD_KERNEL", "1")
+        else:
+            monkeypatch.delenv("VMT_LINEAR_BWD_KERNEL", raising=False)
+        if n_cond:
+            def loss(*args):
+                out = fused_linear_block(*args, heads=HEADS, scale=D ** -0.5,
+                                         spatial_size=N, interpret=True)
+                return jnp.sum(out.astype(jnp.float32) ** 2)
+            return jax.grad(loss, argnums=tuple(range(7)))(
+                x, gamma, w_qkv, w_out, out_bias, ek, ev)
+        def loss(x_, gamma_, wq_, wo_, ob_):
+            out = fused_linear_block(x_, gamma_, wq_, wo_, ob_, None, None,
+                                     heads=HEADS, scale=D ** -0.5,
+                                     spatial_size=N, interpret=True)
+            return jnp.sum(out.astype(jnp.float32) ** 2)
+        return jax.grad(loss, argnums=tuple(range(5)))(
+            x, gamma, w_qkv, w_out, out_bias)
+
+    ref = grads(False)
+    got = grads(True)
+    names = (("x", "gamma", "w_qkv", "w_out", "out_bias", "ek", "ev")
+             if n_cond else ("x", "gamma", "w_qkv", "w_out", "out_bias"))
+    for name, a, b in zip(names, got, ref):
+        a32, b32 = np.asarray(a, np.float32), np.asarray(b, np.float32)
+        scale = max(np.abs(b32).max(), 1e-3)
+        np.testing.assert_allclose(a32 / scale, b32 / scale,
+                                   rtol=0, atol=5e-2, err_msg=name)
+        assert np.abs(a32).max() > 0, name

@@ -31,9 +31,14 @@ Mosaic-specific design notes:
   - head-level math stays f32 until the final wide store (no f32->bf16
     casts on narrow <128-lane arrays).
 
-Backward: jax.custom_vjp with the backward taken from the numerically
-identical XLA reference (`reference_linear_block`), so the block remains
-trainable while inference uses the kernel.
+Backward: jax.custom_vjp. Default backward is the vjp of the numerically
+identical XLA reference (`reference_linear_block`) — under grad the block
+then costs kernel_fwd + xla_fwd + xla_bwd (the plan-split tax). Opt-in
+VMT_LINEAR_BWD_KERNEL=1 switches to a whole-block BACKWARD kernel
+(`_bwd_kernel`) that recomputes the forward VMEM-resident and emits all
+seven cotangents in one pass — one read of (x, g), one write of dx, plus
+the small parameter grads. Interpret-mode parity with the XLA vjp is
+pinned in tests/test_fused_linear_block.py.
 """
 
 from __future__ import annotations
@@ -126,6 +131,110 @@ def _kernel(x_ref, gamma_ref, wqkv_ref, wout_ref, obias_ref, *refs, heads: int,
     out_ref[0] = acc.astype(out_ref.dtype)
 
 
+def _bwd_kernel(x_ref, gamma_ref, wqkv_ref, wout_ref, g_ref, *refs,
+                heads: int, scale: float, inv_hw: float, has_cond: bool):
+    """Whole-block backward: forward recompute kept VMEM-resident, then all
+    cotangents in one pass. Per-head math mirrors `_kernel`; sublane (token
+    axis) reductions lower fine at rank 2 (the forward already uses them).
+    Grid-accumulated outputs (dgamma/dwqkv/dwout/dobias) are zeroed on the
+    first grid cell and += after (revisited-block pattern)."""
+    if has_cond:
+        (ek_ref, ev_ref, dx_ref, dgamma_ref, dwqkv_ref, dwout_ref,
+         dobias_ref, dek_ref, dev_ref) = refs
+    else:
+        (dx_ref, dgamma_ref, dwqkv_ref, dwout_ref, dobias_ref) = refs
+    d = wout_ref.shape[1]
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        dgamma_ref[...] = jnp.zeros_like(dgamma_ref)
+        dwqkv_ref[...] = jnp.zeros_like(dwqkv_ref)
+        dwout_ref[...] = jnp.zeros_like(dwout_ref)
+        dobias_ref[...] = jnp.zeros_like(dobias_ref)
+
+    def dot(a, b, dims):
+        return jax.lax.dot_general(a, b, dimension_numbers=(dims, ((), ())),
+                                   preferred_element_type=jnp.float32)
+
+    x = x_ref[0]                                      # (N, C)
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
+    inv_sig = jax.lax.rsqrt(var + 1e-5)
+    xhat = (xf - mu) * inv_sig
+    gamma = gamma_ref[0]
+    y = (xhat * gamma).astype(x.dtype)                # (N, C)
+
+    g32 = g_ref[0].astype(jnp.float32)                # (N, C) cotangent
+    dobias_ref[...] += jnp.sum(g32, axis=0, keepdims=True)
+
+    dy = jnp.zeros_like(xf)                           # (N, C) f32
+    for h in range(heads):
+        # ---- forward recompute (as _kernel)
+        qkv = dot(y, wqkv_ref[h], ((1,), (0,)))       # (N, 3d) f32
+        q_raw = qkv[:, 0:d]
+        k = qkv[:, d:2 * d]
+        v = qkv[:, 2 * d:3 * d]
+        sm = jnp.exp(q_raw - jnp.max(q_raw, axis=-1, keepdims=True))
+        sm = sm / jnp.sum(sm, axis=-1, keepdims=True)  # softmax_d(q)
+        q_t = sm * scale
+        if has_cond:
+            kc = ek_ref[0, h].astype(jnp.float32)      # (Mc, d)
+            vc = ev_ref[0, h].astype(jnp.float32)
+            mx = jnp.maximum(jnp.max(k, axis=0, keepdims=True),
+                             jnp.max(kc, axis=0, keepdims=True))
+            pk = jnp.exp(k - mx)
+            pkc = jnp.exp(kc - mx)
+            z = (jnp.sum(pk, axis=0, keepdims=True)
+                 + jnp.sum(pkc, axis=0, keepdims=True))
+            pk = pk / z
+            pkc = pkc / z
+            ctx = dot(pk, v * inv_hw, ((0,), (0,)))    # (d, d)
+            ctx = ctx + dot(pkc, vc * inv_hw, ((0,), (0,)))
+        else:
+            mx = jnp.max(k, axis=0, keepdims=True)
+            pk = jnp.exp(k - mx)
+            pk = pk / jnp.sum(pk, axis=0, keepdims=True)
+            ctx = dot(pk, v * inv_hw, ((0,), (0,)))
+        oh = dot(q_t, ctx, ((1,), (0,)))               # (N, d)
+
+        # ---- backward
+        dwout_ref[h] += dot(oh, g32, ((0,), (0,)))     # (d, C)
+        g_oh = dot(g32, wout_ref[h], ((1,), (1,)))     # (N, d)
+        dq_t = dot(g_oh, ctx, ((1,), (1,)))            # (N, d)
+        dctx = dot(q_t, g_oh, ((0,), (0,)))            # (d, d)
+        # q~ = scale * softmax_d(q_raw)
+        dsm = dq_t * scale
+        dq = sm * (dsm - jnp.sum(sm * dsm, axis=-1, keepdims=True))
+        # ctx = pk^T (v ihw) [+ pkc^T (vc ihw)]
+        dv = dot(pk, dctx, ((1,), (0,))) * inv_hw      # (N, d)
+        dpk = dot(v * inv_hw, dctx, ((1,), (1,)))      # (N, d)
+        if has_cond:
+            dvc = dot(pkc, dctx, ((1,), (0,))) * inv_hw
+            dpkc = dot(vc * inv_hw, dctx, ((1,), (1,)))
+            s_feat = (jnp.sum(pk * dpk, axis=0, keepdims=True)
+                      + jnp.sum(pkc * dpkc, axis=0, keepdims=True))
+            dk = pk * (dpk - s_feat)
+            dkc = pkc * (dpkc - s_feat)
+            dek_ref[0, h] = dkc.astype(dek_ref.dtype)
+            dev_ref[0, h] = dvc.astype(dev_ref.dtype)
+        else:
+            s_feat = jnp.sum(pk * dpk, axis=0, keepdims=True)
+            dk = pk * (dpk - s_feat)
+        dqkv = jnp.concatenate([dq, dk, dv],
+                               axis=1).astype(jnp.bfloat16)  # (N, 3d)
+        dwqkv_ref[h] += dot(y, dqkv, ((0,), (0,)))     # (C, 3d)
+        dy = dy + dot(dqkv, wqkv_ref[h], ((1,), (1,)))  # (N, C)
+
+    # ---- LN backward + residual
+    dgamma_ref[...] += jnp.sum(xhat * dy, axis=0, keepdims=True)
+    dxh = dy * gamma
+    m1 = jnp.mean(dxh, axis=-1, keepdims=True)
+    m2 = jnp.mean(dxh * xhat, axis=-1, keepdims=True)
+    dx = inv_sig * (dxh - m1 - xhat * m2) + g32
+    dx_ref[0] = dx.astype(dx_ref.dtype)
+
+
 def reference_linear_block(x, gamma, w_qkv, w_out, out_bias, ek, ev, *,
                            heads: int, scale: float, spatial_size: int):
     """Pure-XLA implementation of the exact kernel math. Used as the
@@ -174,13 +283,102 @@ def _core_fwd(x, gamma, w_qkv, w_out, out_bias, ek, ev, heads, scale,
     return out, (x, gamma, w_qkv, w_out, out_bias, ek, ev)
 
 
+def _bwd_kernel_enabled() -> bool:
+    import os
+    return os.environ.get("VMT_LINEAR_BWD_KERNEL", "") == "1"
+
+
 def _core_bwd(heads, scale, spatial_size, interpret, residuals, g):
+    if _bwd_kernel_enabled():
+        return _run_bwd_kernel(residuals, g, heads=heads, scale=scale,
+                               spatial_size=spatial_size,
+                               interpret=interpret)
     x, gamma, w_qkv, w_out, out_bias, ek, ev = residuals
     _, vjp = jax.vjp(
         lambda *args: reference_linear_block(
             *args, heads=heads, scale=scale, spatial_size=spatial_size),
         x, gamma, w_qkv, w_out, out_bias, ek, ev)
     return vjp(g)
+
+
+def _run_bwd_kernel(residuals, g, *, heads, scale, spatial_size, interpret):
+    """pallas_call plumbing for the backward kernel; returns the seven
+    cotangents in custom-VJP argument order, mapped back from the kernel's
+    head-leading weight layouts to the primal layouts."""
+    x, gamma, w_qkv, w_out, out_bias, ek, ev = residuals
+    b, n, c = x.shape
+    hd = w_out.shape[0]
+    d = hd // heads
+    has_cond = ek is not None
+
+    gamma2 = gamma.reshape(1, -1).astype(jnp.float32)
+    wqkv_hm = w_qkv.reshape(c, 3, heads, d).transpose(2, 0, 1, 3) \
+        .reshape(heads, c, 3 * d)
+    wout_hm = w_out.astype(jnp.float32).reshape(heads, d, c)
+
+    grid = (b,)
+    kernel = functools.partial(_bwd_kernel, heads=heads, scale=scale,
+                               inv_hw=1.0 / spatial_size, has_cond=has_cond)
+    x_spec = pl.BlockSpec((1, n, c), lambda i: (i, 0, 0),
+                          memory_space=pltpu.VMEM)
+    row_spec = pl.BlockSpec((1, c), lambda i: (0, 0),
+                            memory_space=pltpu.VMEM)
+    wqkv_spec = pl.BlockSpec((heads, c, 3 * d), lambda i: (0, 0, 0),
+                             memory_space=pltpu.VMEM)
+    wout_spec = pl.BlockSpec((heads, d, c), lambda i: (0, 0, 0),
+                             memory_space=pltpu.VMEM)
+    in_specs = [x_spec, row_spec, wqkv_spec, wout_spec, x_spec]
+    operands = [x, gamma2, wqkv_hm.astype(x.dtype), wout_hm,
+                g.astype(x.dtype)]
+    if has_cond:
+        m_c = ek.shape[1]
+        ek_h = ek.reshape(b, m_c, heads, d).transpose(0, 2, 1, 3)
+        ev_h = ev.reshape(b, m_c, heads, d).transpose(0, 2, 1, 3)
+        cond_spec = pl.BlockSpec((1, heads, m_c, d), lambda i: (i, 0, 0, 0),
+                                 memory_space=pltpu.VMEM)
+        in_specs += [cond_spec, cond_spec]
+        operands += [ek_h, ev_h]
+
+    out_shapes = [
+        jax.ShapeDtypeStruct((b, n, c), x.dtype),                  # dx
+        jax.ShapeDtypeStruct((1, c), jnp.float32),                 # dgamma
+        jax.ShapeDtypeStruct((heads, c, 3 * d), jnp.float32),      # dwqkv
+        jax.ShapeDtypeStruct((heads, d, c), jnp.float32),          # dwout
+        jax.ShapeDtypeStruct((1, c), jnp.float32),                 # dobias
+    ]
+    out_specs = [x_spec, row_spec, wqkv_spec, wout_spec, row_spec]
+    if has_cond:
+        out_shapes += [
+            jax.ShapeDtypeStruct((b, heads, m_c, d), jnp.float32),
+            jax.ShapeDtypeStruct((b, heads, m_c, d), jnp.float32),
+        ]
+        out_specs += [cond_spec, cond_spec]
+
+    outs = pl.pallas_call(
+        kernel,
+        out_shape=out_shapes,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(*operands)
+
+    dx, dgamma, dwqkv_hm, dwout_hm, dobias = outs[:5]
+    dwqkv = dwqkv_hm.reshape(heads, c, 3, d).transpose(1, 2, 0, 3) \
+        .reshape(c, 3 * hd).astype(w_qkv.dtype)
+    dwout = dwout_hm.reshape(hd, c).astype(w_out.dtype)
+    dek = dev = None
+    if has_cond:
+        dek = outs[5].transpose(0, 2, 1, 3).reshape(b, m_c, hd) \
+            .astype(ek.dtype)
+        dev = outs[6].transpose(0, 2, 1, 3).reshape(b, m_c, hd) \
+            .astype(ev.dtype)
+    return (dx, dgamma.reshape(gamma.shape).astype(gamma.dtype),
+            dwqkv, dwout,
+            dobias.reshape(out_bias.shape).astype(out_bias.dtype),
+            dek, dev)
 
 
 fused_linear_block_core.defvjp(_core_fwd, _core_bwd)
