@@ -267,29 +267,30 @@ def reference_linear_block(x, gamma, w_qkv, w_out, out_bias, ek, ev, *,
     return x + out.astype(x.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11))
 def fused_linear_block_core(x, gamma, w_qkv, w_out, out_bias, ek, ev, heads,
-                            scale, spatial_size, interpret):
+                            scale, spatial_size, interpret, bwd_kernel):
     return _run_kernel(x, gamma, w_qkv, w_out, out_bias, ek, ev, heads=heads,
                        scale=scale, spatial_size=spatial_size,
                        interpret=interpret)
 
 
 def _core_fwd(x, gamma, w_qkv, w_out, out_bias, ek, ev, heads, scale,
-              spatial_size, interpret):
+              spatial_size, interpret, bwd_kernel):
     out = _run_kernel(x, gamma, w_qkv, w_out, out_bias, ek, ev, heads=heads,
                       scale=scale, spatial_size=spatial_size,
                       interpret=interpret)
     return out, (x, gamma, w_qkv, w_out, out_bias, ek, ev)
 
 
-def _bwd_kernel_enabled() -> bool:
+def _bwd_kernel_env() -> bool:
     import os
     return os.environ.get("VMT_LINEAR_BWD_KERNEL", "") == "1"
 
 
-def _core_bwd(heads, scale, spatial_size, interpret, residuals, g):
-    if _bwd_kernel_enabled():
+def _core_bwd(heads, scale, spatial_size, interpret, bwd_kernel,
+              residuals, g):
+    if bwd_kernel or _bwd_kernel_env():
         return _run_bwd_kernel(residuals, g, heads=heads, scale=scale,
                                spatial_size=spatial_size,
                                interpret=interpret)
@@ -440,14 +441,18 @@ def _run_kernel(x, gamma, w_qkv, w_out, out_bias, ek, ev, *, heads, scale,
 
 def fused_linear_block(x, gamma, w_qkv, w_out, out_bias, ek, ev, *,
                        heads: int, scale: float, spatial_size: int,
-                       interpret: bool | None = None):
+                       interpret: bool | None = None,
+                       bwd_kernel: bool = False):
     """x: (B, N, C) with frames folded into B; w_qkv (C, 3*hidden);
     w_out (hidden, C); out_bias (C,); ek/ev: (B, Mc, hidden) conditioning
     keys/values (already projected), or None; spatial_size = H*W (the v
     scaling denominator, vddp.py:371).
-    Returns x + block(x), differentiable (XLA-reference backward)."""
+    Returns x + block(x), differentiable. bwd_kernel=True (or env
+    VMT_LINEAR_BWD_KERNEL=1) uses the whole-block backward kernel in place
+    of the XLA-reference vjp."""
     if interpret is None:
         import os
         interpret = os.environ.get("VMT_PALLAS_INTERPRET", "") == "1"
     return fused_linear_block_core(x, gamma, w_qkv, w_out, out_bias, ek, ev,
-                                   heads, scale, spatial_size, interpret)
+                                   heads, scale, spatial_size, interpret,
+                                   bwd_kernel)

@@ -366,27 +366,27 @@ def reference_temporal_block(x, gamma, w_all, w_out, ek, ev, bias_all, *,
     return x + out.astype(x.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
 def fused_temporal_block_core(x, gamma, w_all, w_out, ek, ev, bias_all,
-                              heads, tile, interpret):
+                              heads, tile, interpret, bwd_kernel):
     return _run_kernel(x, gamma, w_all, w_out, ek, ev, bias_all,
                        heads=heads, tile=tile, interpret=interpret)
 
 
 def _core_fwd(x, gamma, w_all, w_out, ek, ev, bias_all, heads, tile,
-              interpret):
+              interpret, bwd_kernel):
     out = _run_kernel(x, gamma, w_all, w_out, ek, ev, bias_all,
                       heads=heads, tile=tile, interpret=interpret)
     return out, (x, gamma, w_all, w_out, ek, ev, bias_all)
 
 
-def _bwd_kernel_enabled() -> bool:
+def _bwd_kernel_env() -> bool:
     import os
     return os.environ.get("VMT_TEMPORAL_BWD_KERNEL", "") == "1"
 
 
-def _core_bwd(heads, tile, interpret, residuals, g):
-    if _bwd_kernel_enabled():
+def _core_bwd(heads, tile, interpret, bwd_kernel, residuals, g):
+    if bwd_kernel or _bwd_kernel_env():
         return _run_bwd_kernel(residuals, g, heads=heads, tile=tile,
                                interpret=interpret)
     x, gamma, w_all, w_out, ek, ev, bias_all = residuals
@@ -550,14 +550,18 @@ def _run_kernel(x, gamma, w_all, w_out, ek, ev, bias_all, *, heads, tile,
 
 def fused_temporal_block(x, gamma, w_all, w_out, ek, ev, bias_all, *,
                          heads: int, tile: int | None = None,
-                         interpret: bool | None = None):
+                         interpret: bool | None = None,
+                         bwd_kernel: bool = False):
     """x: (B, F, S, C); gamma (C,); w_all (F, C, 3*hidden) rotary+scale
     folded; w_out (hidden, C); ek/ev (B, T, hidden) conditioning K/V
     (rotary already applied to ek), or None; bias_all (F, F+T, heads) with
     the cond columns zeroed when the reference adds no cond bias.
-    Returns x + block(x); differentiable (XLA-reference backward)."""
+    Returns x + block(x); differentiable. bwd_kernel=True (or env
+    VMT_TEMPORAL_BWD_KERNEL=1) uses the whole-block backward kernel in
+    place of the XLA-reference vjp."""
     if interpret is None:
         import os
         interpret = os.environ.get("VMT_PALLAS_INTERPRET", "") == "1"
     return fused_temporal_block_core(x, gamma, w_all, w_out, ek, ev,
-                                     bias_all, heads, tile, interpret)
+                                     bias_all, heads, tile, interpret,
+                                     bwd_kernel)
