@@ -186,3 +186,69 @@ def test_backward_kernel_matches_xla_vjp(n_cond, monkeypatch):
         np.testing.assert_allclose(a32 / scale, b32 / scale,
                                    rtol=0, atol=5e-2, err_msg=name)
         assert np.abs(a32).max() > 0, name
+
+
+def test_unet_from_config_bwd_kernels_plumbed(monkeypatch):
+    """Config plumbing of fused_bwd_kernels: with the flag on, a UNet3D
+    grad actually INVOKES both backward kernels, and the grads track the
+    matched fused model's XLA-vjp grads. (Numerical authority for the
+    backward kernels lives in the per-block cotangent oracle tests — at
+    UNet depth, bf16-in-kernel vs fp32-reference rounding amplifies on
+    tiny bias leaves, so the tree comparison here is deliberately loose.)"""
+    import sys
+
+    import videometamaterials_tpu.models.unet3d as u
+    import videometamaterials_tpu.ops.pallas.fused_temporal_block  # noqa: F401
+    from videometamaterials_tpu.config import ModelConfig
+    from videometamaterials_tpu.models import UNet3D
+
+    # the package __init__ re-exports functions under the submodule names,
+    # so attribute-style `import ... as` would grab the function
+    fl = sys.modules["videometamaterials_tpu.ops.pallas.fused_linear_block"]
+    ft = sys.modules["videometamaterials_tpu.ops.pallas.fused_temporal_block"]
+
+    monkeypatch.setenv("VMT_PALLAS_INTERPRET", "1")
+    monkeypatch.setattr(u.SpatialLinearAttentionBlock, "_fused_ok",
+                        lambda self: self.use_fused_block)
+    calls = {"lin": 0, "tmp": 0}
+    orig_lin, orig_tmp = fl._run_bwd_kernel, ft._run_bwd_kernel
+
+    def count_lin(*a, **k):
+        calls["lin"] += 1
+        return orig_lin(*a, **k)
+
+    def count_tmp(*a, **k):
+        calls["tmp"] += 1
+        return orig_tmp(*a, **k)
+
+    monkeypatch.setattr(fl, "_run_bwd_kernel", count_lin)
+    monkeypatch.setattr(ft, "_run_bwd_kernel", count_tmp)
+
+    kw = dict(image_size=16, num_frames=3, unet_dim=8, dim_mults=(1, 2),
+              unet_attn_heads=4, unet_attn_dim_head=32,
+              compute_dtype="float32",
+              use_fused_linear_block="all", use_fused_temporal_block="all")
+    m_f = UNet3D.from_config(ModelConfig(**kw))
+    m_fb = UNet3D.from_config(ModelConfig(**kw, fused_bwd_kernels=True))
+    assert m_fb.fused_bwd_kernels
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (2, 3, 16, 16, 3))
+    t = jnp.zeros((2,), jnp.int32)
+    cond = jax.random.normal(rng, (2, 3))
+    params = m_f.init(rng, x, t, cond)
+
+    def loss(m, p):
+        return jnp.sum(m.apply(p, x, t, cond) ** 2)
+
+    g_f = jax.grad(lambda p: loss(m_f, p))(params)
+    assert calls == {"lin": 0, "tmp": 0}  # flag off -> XLA vjp
+    g_fb = jax.grad(lambda p: loss(m_fb, p))(params)
+    assert calls["lin"] > 0 and calls["tmp"] > 0
+
+    def close(a, b):
+        a32, b32 = np.asarray(a, np.float32), np.asarray(b, np.float32)
+        scale = max(np.abs(b32).max(), 1e-3)
+        np.testing.assert_allclose(a32 / scale, b32 / scale,
+                                   rtol=0, atol=0.35)
+
+    jax.tree_util.tree_map(close, g_fb, g_f)

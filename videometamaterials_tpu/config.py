@@ -87,6 +87,10 @@ class ModelConfig:
                                               # sampling scans (bit-identical
                                               # under bf16 compute; halves
                                               # per-step weight HBM reads)
+    fused_bwd_kernels: bool = False           # whole-block BACKWARD kernels
+                                              # under grad for the fused
+                                              # blocks (pairs with
+                                              # fused_blocks_in_training)
 
     @property
     def channels(self) -> int:

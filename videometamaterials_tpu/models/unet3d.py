@@ -342,7 +342,7 @@ class Attention(nn.Module):
         return out.transpose(1, 2, 0, 3, 4).reshape(b, f, s, c_in)
 
     def temporal_fused(self, x_bfsc, norm_gamma, pos_bias=None,
-                       label_emb=None, tile=None):
+                       label_emb=None, tile=None, bwd_kernel=False):
         """Whole temporal attention block as ONE Pallas kernel
         (ops/pallas/fused_temporal_block.py): QKV, scores, softmax and
         weights never leave VMEM — removes the multi-GB HBM round trips the
@@ -363,7 +363,7 @@ class Attention(nn.Module):
             self.to_out_kernel.astype(self.dtype),
             None if ek is None else ek.astype(self.dtype),
             None if ev is None else ev.astype(self.dtype),
-            bias_all, heads=heads, tile=tile)
+            bias_all, heads=heads, tile=tile, bwd_kernel=bwd_kernel)
 
     def temporal_xla(self, x_bfsc, norm_gamma, pos_bias=None,
                      focus_present_mask=None, label_emb=None):
@@ -496,6 +496,8 @@ class SpatialLinearAttention(nn.Module):
     cond_dim: int = 64
     per_frame_cond: bool = False
     dtype: jnp.dtype = jnp.float32
+    # whole-block BACKWARD kernel under grad (fused plan only)
+    use_bwd_kernel: bool = False
 
     def _fused_cond_kv(self, label_emb, b, f, hidden):
         """Projected conditioning K/V aligned to the folded frame axis:
@@ -545,7 +547,8 @@ class SpatialLinearAttention(nn.Module):
                 out_bias,
                 None if ek is None else ek.astype(self.dtype),
                 None if ev is None else ev.astype(self.dtype),
-                heads=self.heads, scale=scale, spatial_size=h * w)
+                heads=self.heads, scale=scale, spatial_size=h * w,
+                bwd_kernel=self.use_bwd_kernel)
             # match the unfused plan's output dtype (x + y.astype(x.dtype))
             # so the two plans stay interchangeable even for fp32 inputs
             # under bf16 compute
@@ -656,6 +659,9 @@ class TemporalAttentionBlock(nn.Module):
     # of this size; None = untiled temporal_xla. Ignored when the fused
     # kernel is active.
     s_tile: int | None = None
+    # use the whole-block BACKWARD kernel under grad instead of the
+    # XLA-reference vjp (fused_temporal_block.py:_bwd_kernel)
+    use_bwd_kernel: bool = False
 
     def _make_attn(self):
         return Attention(dim=self.dim, heads=self.heads,
@@ -693,7 +699,8 @@ class TemporalAttentionBlock(nn.Module):
             x4 = x.reshape(b, f, h * w, c)
             if self._fused_ok() and focus_present_mask is None:
                 out = attn.temporal_fused(x4, gamma, pos_bias=pos_bias,
-                                          label_emb=label_emb)
+                                          label_emb=label_emb,
+                                          bwd_kernel=self.use_bwd_kernel)
             elif self.s_tile and focus_present_mask is None \
                     and (h * w) % self.s_tile == 0 and h * w > self.s_tile:
                 out = attn.temporal_stiled(x4, gamma, pos_bias=pos_bias,
@@ -759,6 +766,7 @@ class SpatialLinearAttentionBlock(nn.Module):
     per_frame_cond: bool = False
     dtype: jnp.dtype = jnp.float32
     use_fused_block: bool = False
+    use_bwd_kernel: bool = False
 
     def _fused_ok(self):
         if not self.use_fused_block:
@@ -781,7 +789,7 @@ class SpatialLinearAttentionBlock(nn.Module):
             dim=self.dim, heads=self.heads, dim_head=self.dim_head,
             cond_attention=self.cond_attention, cond_dim=self.cond_dim,
             per_frame_cond=self.per_frame_cond, dtype=self.dtype,
-            name="attn")
+            use_bwd_kernel=self.use_bwd_kernel, name="attn")
         if self._fused_ok():
             return attn(x, label_emb=label_emb, norm_gamma=gamma)
         y = attn(channel_layer_norm(x, gamma), label_emb=label_emb)
@@ -849,6 +857,9 @@ class UNet3D(nn.Module):
     # Same tri-state for the fused temporal-attention Pallas kernel
     # (ops/pallas/fused_temporal_block.py).
     use_fused_temporal_block: bool | str | int = False
+    # Use the whole-block BACKWARD kernels under grad (instead of the
+    # XLA-reference vjp) wherever a fused block is selected above.
+    fused_bwd_kernels: bool = False
     # s-tiled XLA temporal plan: spatial tile size for lax.scan over tiles
     # (None = untiled); applies to levels where the tile divides h*w and is
     # smaller than it. Ignored where the fused kernel is selected.
@@ -898,6 +909,7 @@ class UNet3D(nn.Module):
             use_fused_block=self._tri_state(self.use_fused_temporal_block,
                                             dim),
             s_tile=self.temporal_s_tile,
+            use_bwd_kernel=self.fused_bwd_kernels,
             name=name)
 
     def _spatial_linear_attn(self, dim, name):
@@ -906,6 +918,7 @@ class UNet3D(nn.Module):
             cond_attention=self._cond_attention, cond_dim=self._cond_dim,
             per_frame_cond=self.per_frame_cond, dtype=self._dtype,
             use_fused_block=self._tri_state(self.use_fused_linear_block, dim),
+            use_bwd_kernel=self.fused_bwd_kernels,
             name=name)
 
     @nn.compact
@@ -1097,4 +1110,5 @@ class UNet3D(nn.Module):
             use_fused_temporal_block=getattr(
                 cfg, "use_fused_temporal_block", False),
             temporal_s_tile=getattr(cfg, "temporal_s_tile", None),
+            fused_bwd_kernels=getattr(cfg, "fused_bwd_kernels", False),
         )
