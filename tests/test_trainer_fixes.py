@@ -237,3 +237,46 @@ def test_fused_config_trains_on_xla_plan(data_dirs, monkeypatch):
     fused.state = sf
     vids = fused.sample_videos(np.asarray(c)[:2], guidance_scale=1.0)
     assert vids.shape[0] == 2
+
+
+def test_fused_in_training_with_bwd_kernels_steps(data_dirs, monkeypatch):
+    """Opt-in path: fused_blocks_in_training + fused_bwd_kernels keeps the
+    kernels in the loss/grad plan and the backward kernels actually run
+    (interpret mode). One real train step must produce a finite loss and
+    EMA-updated state."""
+    import sys
+
+    monkeypatch.setenv("VMT_PALLAS_INTERPRET", "1")
+    import videometamaterials_tpu.models.unet3d as u
+    monkeypatch.setattr(u.SpatialLinearAttentionBlock, "_fused_ok",
+                        lambda self: self.use_fused_block)
+    import videometamaterials_tpu.ops.pallas.fused_temporal_block  # noqa: F401
+    ft = sys.modules["videometamaterials_tpu.ops.pallas.fused_temporal_block"]
+    calls = {"n": 0}
+    orig = ft._run_bwd_kernel
+
+    def counting(*a, **k):
+        calls["n"] += 1
+        return orig(*a, **k)
+
+    monkeypatch.setattr(ft, "_run_bwd_kernel", counting)
+
+    mcfg = ModelConfig(
+        batch_size=1, image_size=IMG, num_frames=FRAMES,
+        train_timesteps=8, sampling_timesteps=8,
+        unet_dim=8, dim_mults=(1, 2), unet_attn_heads=4,
+        unet_attn_dim_head=32, compute_dtype="float32",
+        use_fused_temporal_block="all", use_fused_linear_block="all",
+        fused_blocks_in_training=True, fused_bwd_kernels=True)
+    trainer = _make_trainer(data_dirs, mcfg=mcfg, run="bwdk")
+    # the plan split must NOT strip the kernels when opted in
+    assert trainer._train_diffusion is trainer.diffusion
+    assert trainer._train_diffusion.model.fused_bwd_kernels
+
+    rng = jax.random.PRNGKey(0)
+    idx = np.arange(trainer.global_batch) % len(trainer.ds)
+    v, c = trainer.ds.get_batch(idx)
+    state, loss = trainer._train_step(trainer.state,
+                                      jnp.asarray(v), jnp.asarray(c), rng)
+    assert np.isfinite(float(loss))
+    assert calls["n"] > 0  # backward kernels ran inside the train step
