@@ -91,6 +91,11 @@ class ModelConfig:
                                               # under grad for the fused
                                               # blocks (pairs with
                                               # fused_blocks_in_training)
+    remat_blocks: bool = False                # jax.checkpoint the Resnet
+                                              # blocks: recompute instead of
+                                              # store activations in the bwd
+                                              # (math-exact; fits larger
+                                              # per-chip batches)
 
     @property
     def channels(self) -> int:

@@ -860,6 +860,11 @@ class UNet3D(nn.Module):
     # Use the whole-block BACKWARD kernels under grad (instead of the
     # XLA-reference vjp) wherever a fused block is selected above.
     fused_bwd_kernels: bool = False
+    # jax.checkpoint (remat) the ResnetBlocks: recompute conv/GN
+    # activations in the backward instead of storing them — trades FLOPs
+    # for HBM so larger per-chip batches fit. Math-exact (same primals,
+    # same grads).
+    remat_blocks: bool = False
     # s-tiled XLA temporal plan: spatial tile size for lax.scan over tiles
     # (None = untiled); applies to levels where the tile divides h*w and is
     # smaller than it. Ignored where the fused kernel is selected.
@@ -1019,13 +1024,15 @@ class UNet3D(nn.Module):
         time_emb_dim = (time_dim + cond_dim if self.cond_to_time == "concat"
                         else cond_dim)
 
+        Res = nn.remat(ResnetBlock) if self.remat_blocks else ResnetBlock
+
         hs = []
         for i, (_, dim_out) in enumerate(in_out):
             is_last = i >= num_res - 1
-            x = ResnetBlock(dim_out, time_emb_dim, self.resnet_groups,
+            x = Res(dim_out, time_emb_dim, self.resnet_groups,
                             self.padding_mode, dtype,
                             name=f"down_{i}_block1")(x, t)
-            x = ResnetBlock(dim_out, time_emb_dim, self.resnet_groups,
+            x = Res(dim_out, time_emb_dim, self.resnet_groups,
                             self.padding_mode, dtype,
                             name=f"down_{i}_block2")(x, t)
             if self.use_sparse_linear_attn:
@@ -1040,7 +1047,7 @@ class UNet3D(nn.Module):
                                name=f"down_{i}_downsample")(x)
 
         mid_dim = dims[-1]
-        x = ResnetBlock(mid_dim, time_emb_dim, self.resnet_groups,
+        x = Res(mid_dim, time_emb_dim, self.resnet_groups,
                         self.padding_mode, dtype, name="mid_block1")(x, t)
         # NB the reference builds the mid spatial attention WITHOUT passing
         # attn_dim_head, so it always gets the Attention default dim_head=32
@@ -1053,16 +1060,16 @@ class UNet3D(nn.Module):
         x = self._temporal_attn(mid_dim, "mid_temporal_attn")(
             x, pos_bias=pos_bias, focus_present_mask=focus_present_mask,
             label_emb=tokens_temporal)
-        x = ResnetBlock(mid_dim, time_emb_dim, self.resnet_groups,
+        x = Res(mid_dim, time_emb_dim, self.resnet_groups,
                         self.padding_mode, dtype, name="mid_block2")(x, t)
 
         for i, (dim_in, dim_out) in enumerate(reversed(in_out)):
             is_last = i >= num_res - 1
             x = jnp.concatenate([x, hs.pop()], axis=-1)
-            x = ResnetBlock(dim_in, time_emb_dim, self.resnet_groups,
+            x = Res(dim_in, time_emb_dim, self.resnet_groups,
                             self.padding_mode, dtype,
                             name=f"up_{i}_block1")(x, t)
-            x = ResnetBlock(dim_in, time_emb_dim, self.resnet_groups,
+            x = Res(dim_in, time_emb_dim, self.resnet_groups,
                             self.padding_mode, dtype,
                             name=f"up_{i}_block2")(x, t)
             if self.use_sparse_linear_attn:
@@ -1076,7 +1083,7 @@ class UNet3D(nn.Module):
                              name=f"up_{i}_upsample")(x)
 
         x = jnp.concatenate([x, r.astype(x.dtype)], axis=-1)
-        x = ResnetBlock(self.dim, None, self.resnet_groups, self.padding_mode,
+        x = Res(self.dim, None, self.resnet_groups, self.padding_mode,
                         dtype, name="final_block")(x)
         out_dim = self.out_dim or self.channels
         fk = self.param("final_conv_kernel", _KERNEL_INIT,
@@ -1111,4 +1118,5 @@ class UNet3D(nn.Module):
                 cfg, "use_fused_temporal_block", False),
             temporal_s_tile=getattr(cfg, "temporal_s_tile", None),
             fused_bwd_kernels=getattr(cfg, "fused_bwd_kernels", False),
+            remat_blocks=getattr(cfg, "remat_blocks", False),
         )
