@@ -22,6 +22,11 @@ def main():
     p.add_argument("--s-tile", type=int, default=0,
                    help="temporal_s_tile for the XLA plan (0 = untiled); "
                         "differentiable for free, unlike the Pallas kernels")
+    p.add_argument("--remat", action="store_true",
+                   help="jax.checkpoint the ResnetBlocks (memory/FLOPs "
+                        "trade; enables larger --batch values)")
+    p.add_argument("--bwd-kernels", action="store_true",
+                   help="whole-block backward kernels for the fused blocks")
     args = p.parse_args()
 
     from videometamaterials_tpu.config import ModelConfig
@@ -34,7 +39,9 @@ def main():
 
     cfg = ModelConfig(use_fused_linear_block=tri(args.fused_linear),
                       use_fused_temporal_block=tri(args.fused_temporal),
-                      temporal_s_tile=args.s_tile or None)
+                      temporal_s_tile=args.s_tile or None,
+                      remat_blocks=args.remat,
+                      fused_bwd_kernels=args.bwd_kernels)
     model = UNet3D.from_config(cfg)
     diffusion = GaussianDiffusion.from_config(model, cfg)
     tx = optax.adam(cfg.learning_rate)
