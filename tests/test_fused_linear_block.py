@@ -36,14 +36,34 @@ def _inputs(n_cond):
     return x, gamma, w_qkv, w_out, out_bias, ek, ev
 
 
+@pytest.mark.parametrize("layout", ["head", "merged"])
 @pytest.mark.parametrize("n_cond", [0, 1, 6])
-def test_kernel_matches_xla_reference(n_cond):
+def test_kernel_matches_xla_reference(n_cond, layout):
     args = _inputs(n_cond)
     got = np.asarray(fused_linear_block(
-        *args, heads=HEADS, scale=D ** -0.5, spatial_size=N, interpret=True))
+        *args, heads=HEADS, scale=D ** -0.5, spatial_size=N, interpret=True,
+        layout=layout))
     want = np.asarray(reference_linear_block(
         *args, heads=HEADS, scale=D ** -0.5, spatial_size=N))
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_merged_layout_is_differentiable():
+    """grad flows through the merged-layout forward (the custom-VJP backward
+    is layout-independent: the XLA-reference vjp)."""
+    args = _inputs(2)
+
+    def loss(x, gamma, w_qkv, w_out, out_bias, ek, ev, layout):
+        return jnp.sum(fused_linear_block(
+            x, gamma, w_qkv, w_out, out_bias, ek, ev, heads=HEADS,
+            scale=D ** -0.5, spatial_size=N, interpret=True,
+            layout=layout) ** 2)
+
+    g_m = jax.grad(loss, argnums=(0, 2))(*args, "merged")
+    g_h = jax.grad(loss, argnums=(0, 2))(*args, "head")
+    for a, b in zip(jax.tree.leaves(g_m), jax.tree.leaves(g_h)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4)
 
 
 @pytest.mark.parametrize("per_frame", [True, False])

@@ -51,6 +51,99 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from videometamaterials_tpu.ops.norms import channel_layer_norm
+from videometamaterials_tpu.ops.pallas.fused_temporal_block import _selector
+
+
+def _kernel_merged(x_ref, gamma_ref, wqkv_ref, wout_ref, obias_ref, *refs,
+                   heads: int, scale: float, inv_hw: float, has_cond: bool):
+    """Merged-heads layout (round-3 v2): all heads share full-lane (N, hidden)
+    arrays instead of the v1 per-head loop over (N, d=32) slices.
+
+    Why (padded-MXU arithmetic, BENCH_NOTES round-3 ledger): v1's per-head
+    contractions pad d=32 -> 128 on both MXU operand edges (1/16 busy tiles
+    on the (N,d)@(d,d) value matmul, 37% on the QKV projection) and its
+    exp/softmax VPU work runs at 1/4 lane width. Merged layout runs every
+    matmul at full lane width:
+      - QKV projection: three (N, C)@(C, hidden) matmuls (hidden=256 lanes);
+      - q feature-softmax: per-ROW max over ALL lanes (constant within each
+        head's 32-lane segment, so subtracting it is exact per segment),
+        exp once, per-head segment sums by 32-lane slice reduces;
+      - context: ONE (hidden, hidden) matmul contracting the token axis,
+        then a block-diagonal mask zeroes the cross-head blocks (8x the
+        useful FLOPs of 8 (d,d) matmuls, but dense and full-lane — cheaper
+        than 16x-padded per-head tiles);
+      - values: (N, hidden)@(hidden, hidden) against the masked context;
+        the per-head q normalizer (scale / segment-sum) multiplies the
+        OUTPUT lanes, exact because the masked context keeps head h's
+        output lanes a function of head h's inputs only.
+    Weights come in PRIMAL layout ((C, 3*hidden) / (hidden, C)) — merged
+    needs none of v1's head-leading reshapes. Matmul inputs are cast to
+    x.dtype (bf16 in production, f32 in the parity tests) with f32
+    accumulation."""
+    if has_cond:
+        ek_ref, ev_ref, out_ref = refs
+    else:
+        (out_ref,) = refs
+    hidden = wout_ref.shape[0]
+    d = hidden // heads
+    n = x_ref.shape[1]
+    cdt = x_ref.dtype
+
+    def mm(a, b, dims=((1,), (0,))):
+        return jax.lax.dot_general(a, b, dimension_numbers=(dims, ((), ())),
+                                   preferred_element_type=jnp.float32)
+
+    x = x_ref[0]                                      # (N, C)
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
+    y = ((xf - mu) * jax.lax.rsqrt(var + 1e-5)
+         * gamma_ref[0]).astype(cdt)                  # (N, C)
+
+    wqkv = wqkv_ref[...]
+    q = mm(y, wqkv[:, :hidden])                       # (N, hidden) f32
+    k = mm(y, wqkv[:, hidden:2 * hidden])
+    v = (mm(y, wqkv[:, 2 * hidden:]) * inv_hw).astype(cdt)
+
+    # q: per-head softmax over features. One per-row max over ALL lanes is
+    # constant within every 32-lane head segment -> subtracting it leaves
+    # each segment's softmax exact (and numerically safe).
+    eq = jnp.exp(q - jnp.max(q, axis=-1, keepdims=True))
+    brd = []                                          # scale/segsum per lane
+    for h in range(heads):
+        s_h = jnp.sum(eq[:, h * d:(h + 1) * d], axis=-1, keepdims=True)
+        brd.append(jnp.broadcast_to(scale / s_h, (n, d)))
+    brd = jnp.concatenate(brd, axis=-1)               # (N, hidden) f32
+
+    # k: per-feature softmax over tokens = [cond block | video block],
+    # reduced jointly without concatenation (sublane reduces, full lanes)
+    if has_cond:
+        kc = ek_ref[0].astype(jnp.float32)            # (Mc, hidden)
+        vc = (ev_ref[0].astype(jnp.float32) * inv_hw).astype(cdt)
+        mx = jnp.maximum(jnp.max(k, axis=0, keepdims=True),
+                         jnp.max(kc, axis=0, keepdims=True))
+        pk = jnp.exp(k - mx)
+        pkc = jnp.exp(kc - mx)
+        z = (jnp.sum(pk, axis=0, keepdims=True)
+             + jnp.sum(pkc, axis=0, keepdims=True))
+        inv_z = 1.0 / z
+        ctx = mm((pk * inv_z).astype(cdt), v, dims=((0,), (0,)))
+        ctx = ctx + mm((pkc * inv_z).astype(cdt), vc, dims=((0,), (0,)))
+    else:
+        mx = jnp.max(k, axis=0, keepdims=True)
+        pk = jnp.exp(k - mx)
+        inv_z = 1.0 / jnp.sum(pk, axis=0, keepdims=True)
+        ctx = mm((pk * inv_z).astype(cdt), v, dims=((0,), (0,)))
+
+    # zero the cross-head blocks; head h's output lanes then depend on head
+    # h's q/k/v lanes only, making the output-lane normalizer exact
+    row = jax.lax.broadcasted_iota(jnp.int32, (hidden, hidden), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (hidden, hidden), 1)
+    ctx_m = jnp.where(row // d == col // d, ctx, 0.0).astype(cdt)
+
+    oh = mm(eq.astype(cdt), ctx_m) * brd              # (N, hidden) f32
+    out_f = mm(oh.astype(cdt), wout_ref[...])         # (N, C) f32
+    out_ref[0] = (xf + obias_ref[0] + out_f).astype(out_ref.dtype)
 
 
 def _kernel(x_ref, gamma_ref, wqkv_ref, wout_ref, obias_ref, *refs, heads: int,
@@ -267,19 +360,20 @@ def reference_linear_block(x, gamma, w_qkv, w_out, out_bias, ek, ev, *,
     return x + out.astype(x.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12))
 def fused_linear_block_core(x, gamma, w_qkv, w_out, out_bias, ek, ev, heads,
-                            scale, spatial_size, interpret, bwd_kernel):
+                            scale, spatial_size, interpret, bwd_kernel,
+                            layout):
     return _run_kernel(x, gamma, w_qkv, w_out, out_bias, ek, ev, heads=heads,
                        scale=scale, spatial_size=spatial_size,
-                       interpret=interpret)
+                       interpret=interpret, layout=layout)
 
 
 def _core_fwd(x, gamma, w_qkv, w_out, out_bias, ek, ev, heads, scale,
-              spatial_size, interpret, bwd_kernel):
+              spatial_size, interpret, bwd_kernel, layout):
     out = _run_kernel(x, gamma, w_qkv, w_out, out_bias, ek, ev, heads=heads,
                       scale=scale, spatial_size=spatial_size,
-                      interpret=interpret)
+                      interpret=interpret, layout=layout)
     return out, (x, gamma, w_qkv, w_out, out_bias, ek, ev)
 
 
@@ -288,7 +382,7 @@ def _bwd_kernel_env() -> bool:
     return os.environ.get("VMT_LINEAR_BWD_KERNEL", "") == "1"
 
 
-def _core_bwd(heads, scale, spatial_size, interpret, bwd_kernel,
+def _core_bwd(heads, scale, spatial_size, interpret, bwd_kernel, layout,
               residuals, g):
     if bwd_kernel or _bwd_kernel_env():
         return _run_bwd_kernel(residuals, g, heads=heads, scale=scale,
@@ -385,8 +479,59 @@ def _run_bwd_kernel(residuals, g, *, heads, scale, spatial_size, interpret):
 fused_linear_block_core.defvjp(_core_fwd, _core_bwd)
 
 
+def _run_kernel_merged(x, gamma, w_qkv, w_out, out_bias, ek, ev, *, heads,
+                       scale, spatial_size, interpret):
+    """pallas_call plumbing for `_kernel_merged`: all weights and the
+    conditioning tokens stay in PRIMAL layout — no head-leading reshapes."""
+    b, n, c = x.shape
+    hd = w_out.shape[0]
+    has_cond = ek is not None
+
+    gamma2 = gamma.reshape(1, -1).astype(jnp.float32)
+    obias2 = out_bias.reshape(1, -1).astype(jnp.float32)
+
+    grid = (b,)
+    kernel = functools.partial(_kernel_merged, heads=heads, scale=scale,
+                               inv_hw=1.0 / spatial_size, has_cond=has_cond)
+    x_spec = pl.BlockSpec((1, n, c), lambda i: (i, 0, 0),
+                          memory_space=pltpu.VMEM)
+    row_spec = pl.BlockSpec((1, c), lambda i: (0, 0),
+                            memory_space=pltpu.VMEM)
+    in_specs = [
+        x_spec,
+        row_spec,
+        pl.BlockSpec((c, 3 * hd), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((hd, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        row_spec,
+    ]
+    operands = [x, gamma2, w_qkv.astype(x.dtype), w_out.astype(x.dtype),
+                obias2]
+    if has_cond:
+        m_c = ek.shape[1]
+        cond_spec = pl.BlockSpec((1, m_c, hd), lambda i: (i, 0, 0),
+                                 memory_space=pltpu.VMEM)
+        in_specs += [cond_spec, cond_spec]
+        operands += [ek, ev]
+
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, n, c), x.dtype),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=x_spec,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(*operands)
+
+
 def _run_kernel(x, gamma, w_qkv, w_out, out_bias, ek, ev, *, heads, scale,
-                spatial_size, interpret):
+                spatial_size, interpret, layout="head"):
+    if layout == "merged":
+        return _run_kernel_merged(x, gamma, w_qkv, w_out, out_bias, ek, ev,
+                                  heads=heads, scale=scale,
+                                  spatial_size=spatial_size,
+                                  interpret=interpret)
     b, n, c = x.shape
     hd = w_out.shape[0]
     d = hd // heads
@@ -442,17 +587,23 @@ def _run_kernel(x, gamma, w_qkv, w_out, out_bias, ek, ev, *, heads, scale,
 def fused_linear_block(x, gamma, w_qkv, w_out, out_bias, ek, ev, *,
                        heads: int, scale: float, spatial_size: int,
                        interpret: bool | None = None,
-                       bwd_kernel: bool = False):
+                       bwd_kernel: bool = False,
+                       layout: str | None = None):
     """x: (B, N, C) with frames folded into B; w_qkv (C, 3*hidden);
     w_out (hidden, C); out_bias (C,); ek/ev: (B, Mc, hidden) conditioning
     keys/values (already projected), or None; spatial_size = H*W (the v
     scaling denominator, vddp.py:371).
     Returns x + block(x), differentiable. bwd_kernel=True (or env
     VMT_LINEAR_BWD_KERNEL=1) uses the whole-block backward kernel in place
-    of the XLA-reference vjp."""
+    of the XLA-reference vjp. layout: 'merged' (all heads in full-lane
+    arrays, `_kernel_merged`) or 'head' (the v1 per-head loop); env
+    VMT_LINEAR_LAYOUT overrides the default."""
     if interpret is None:
         import os
         interpret = os.environ.get("VMT_PALLAS_INTERPRET", "") == "1"
+    if layout is None:
+        import os
+        layout = os.environ.get("VMT_LINEAR_LAYOUT", "head")
     return fused_linear_block_core(x, gamma, w_qkv, w_out, out_bias, ek, ev,
                                    heads, scale, spatial_size, interpret,
-                                   bwd_kernel)
+                                   bwd_kernel, layout)
