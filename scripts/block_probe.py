@@ -109,6 +109,12 @@ def main():
     if "fused_l" in variants:
         chain_timer("fused_linear", lambda y: l_fused.apply(
             params_l, y, label_emb=label), x)
+    if "fused_l2" in variants:
+        # merged-heads layout: env is read at trace time (inside chain_timer)
+        os.environ["VMT_LINEAR_LAYOUT"] = "merged"
+        chain_timer("fused_linear_merged", lambda y: l_fused.apply(
+            params_l, y, label_emb=label), x)
+        os.environ.pop("VMT_LINEAR_LAYOUT")
 
 
 if __name__ == "__main__":

@@ -170,10 +170,12 @@ def test_kernel_is_differentiable():
                                rtol=1e-3, atol=1e-3)
 
 
+@pytest.mark.parametrize("layout", ["head", "merged"])
 @pytest.mark.parametrize("n_cond", [0, 6])
-def test_backward_kernel_matches_xla_vjp(n_cond, monkeypatch):
+def test_backward_kernel_matches_xla_vjp(n_cond, layout, monkeypatch):
     """VMT_LINEAR_BWD_KERNEL=1 swaps the custom-VJP backward from the XLA
-    vjp to the whole-block backward kernel; all cotangents must agree."""
+    vjp to the whole-block backward kernel (per layout); all cotangents
+    must agree."""
     x, gamma, w_qkv, w_out, out_bias, ek, ev = _inputs(n_cond)
 
     def grads(with_kernel):
@@ -184,14 +186,16 @@ def test_backward_kernel_matches_xla_vjp(n_cond, monkeypatch):
         if n_cond:
             def loss(*args):
                 out = fused_linear_block(*args, heads=HEADS, scale=D ** -0.5,
-                                         spatial_size=N, interpret=True)
+                                         spatial_size=N, interpret=True,
+                                         layout=layout)
                 return jnp.sum(out.astype(jnp.float32) ** 2)
             return jax.grad(loss, argnums=tuple(range(7)))(
                 x, gamma, w_qkv, w_out, out_bias, ek, ev)
         def loss(x_, gamma_, wq_, wo_, ob_):
             out = fused_linear_block(x_, gamma_, wq_, wo_, ob_, None, None,
                                      heads=HEADS, scale=D ** -0.5,
-                                     spatial_size=N, interpret=True)
+                                     spatial_size=N, interpret=True,
+                                     layout=layout)
             return jnp.sum(out.astype(jnp.float32) ** 2)
         return jax.grad(loss, argnums=tuple(range(5)))(
             x, gamma, w_qkv, w_out, out_bias)

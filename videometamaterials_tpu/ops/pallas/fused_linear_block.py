@@ -54,96 +54,268 @@ from videometamaterials_tpu.ops.norms import channel_layer_norm
 from videometamaterials_tpu.ops.pallas.fused_temporal_block import _selector
 
 
-def _kernel_merged(x_ref, gamma_ref, wqkv_ref, wout_ref, obias_ref, *refs,
-                   heads: int, scale: float, inv_hw: float, has_cond: bool):
-    """Merged-heads layout (round-3 v2): all heads share full-lane (N, hidden)
-    arrays instead of the v1 per-head loop over (N, d=32) slices.
+# Merged-heads layout (round-3 v2): all heads share full-lane (N, hidden)
+# arrays instead of the v1 per-head loop over (N, d=32) slices.
+#
+# Why (padded-MXU arithmetic, BENCH_NOTES round-3 ledger): v1's per-head
+# contractions pad d=32 -> 128 on both MXU operand edges (1/16 busy tiles
+# on the (N,d)@(d,d) value matmul, 37% on the QKV projection) and its
+# exp/softmax VPU work runs at 1/4 lane width. Merged layout runs every
+# matmul at full lane width:
+#   - QKV projection: (N, C)@(C, hidden) matmuls (hidden=256 lanes);
+#   - q feature-softmax: per-ROW max over ALL lanes (constant within each
+#     head's 32-lane segment, so subtracting it is exact per segment),
+#     exp once, per-head segment sums by 32-lane slice reduces;
+#   - context: ONE (hidden, hidden) matmul contracting the token axis,
+#     then a block-diagonal mask zeroes the cross-head blocks (8x the
+#     useful FLOPs of 8 (d,d) matmuls, but dense and full-lane — cheaper
+#     than 16x-padded per-head tiles);
+#   - values: (N, hidden)@(hidden, hidden) against the masked context.
+# Weights come in PRIMAL layout ((C, 3*hidden) / (hidden, C)) — merged
+# needs none of v1's head-leading reshapes. Matmul inputs are cast to
+# x.dtype (bf16 in production, f32 in the parity tests) with f32
+# accumulation.
+#
+# The block is SPATIALLY TILED as two kernels (an untiled one-cell-per-frame
+# variant held ~60 MB of (9216, 256) f32 arrays live and crashed the Mosaic
+# compile): the per-feature token softmax factorizes as
+#     ctx[a, b] = (1/z[a]) * sum_n exp(k[n, a]) * v[n, b],
+# so a STATS kernel accumulates the unnormalized ctx_raw and z across
+# spatial tiles (plus the conditioning block once), and an APPLY kernel
+# computes per-tile q-softmax and output with 1/z[a] folded into q's lanes
+# (no transposes). exp(k) runs without a max shift — k is clamped at +60,
+# an exact identity for any sane activation scale (f32 exp overflows at
+# ~88.7; the clamp keeps the saturated regime finite like the reference's
+# max-shifted softmax).
 
-    Why (padded-MXU arithmetic, BENCH_NOTES round-3 ledger): v1's per-head
-    contractions pad d=32 -> 128 on both MXU operand edges (1/16 busy tiles
-    on the (N,d)@(d,d) value matmul, 37% on the QKV projection) and its
-    exp/softmax VPU work runs at 1/4 lane width. Merged layout runs every
-    matmul at full lane width:
-      - QKV projection: three (N, C)@(C, hidden) matmuls (hidden=256 lanes);
-      - q feature-softmax: per-ROW max over ALL lanes (constant within each
-        head's 32-lane segment, so subtracting it is exact per segment),
-        exp once, per-head segment sums by 32-lane slice reduces;
-      - context: ONE (hidden, hidden) matmul contracting the token axis,
-        then a block-diagonal mask zeroes the cross-head blocks (8x the
-        useful FLOPs of 8 (d,d) matmuls, but dense and full-lane — cheaper
-        than 16x-padded per-head tiles);
-      - values: (N, hidden)@(hidden, hidden) against the masked context;
-        the per-head q normalizer (scale / segment-sum) multiplies the
-        OUTPUT lanes, exact because the masked context keeps head h's
-        output lanes a function of head h's inputs only.
-    Weights come in PRIMAL layout ((C, 3*hidden) / (hidden, C)) — merged
-    needs none of v1's head-leading reshapes. Matmul inputs are cast to
-    x.dtype (bf16 in production, f32 in the parity tests) with f32
-    accumulation."""
+_K_CLAMP = 60.0
+
+
+def _merged_mask(hidden: int, d: int, dtype):
+    row = jax.lax.broadcasted_iota(jnp.int32, (hidden, hidden), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (hidden, hidden), 1)
+    return (row // d == col // d).astype(dtype)
+
+
+def _merged_stats_kernel(x_ref, gamma_ref, wqkv_ref, *refs, heads: int,
+                         inv_hw: float, has_cond: bool):
+    """Accumulate z[a] = sum_tok exp(k[., a]) and
+    ctx_raw[a, b] = sum_tok exp(k[., a]) v[., b] over spatial tiles (grid =
+    (B, n_tiles); outputs revisited per batch cell: zeroed at tile 0)."""
     if has_cond:
-        ek_ref, ev_ref, out_ref = refs
+        ek_ref, ev_ref, ctx_ref, z_ref = refs
     else:
-        (out_ref,) = refs
-    hidden = wout_ref.shape[0]
-    d = hidden // heads
-    n = x_ref.shape[1]
+        ctx_ref, z_ref = refs
+    hidden = wqkv_ref.shape[1] // 3
     cdt = x_ref.dtype
 
     def mm(a, b, dims=((1,), (0,))):
         return jax.lax.dot_general(a, b, dimension_numbers=(dims, ((), ())),
                                    preferred_element_type=jnp.float32)
 
-    x = x_ref[0]                                      # (N, C)
+    x = x_ref[0]                                      # (T, C)
     xf = x.astype(jnp.float32)
     mu = jnp.mean(xf, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
     y = ((xf - mu) * jax.lax.rsqrt(var + 1e-5)
-         * gamma_ref[0]).astype(cdt)                  # (N, C)
+         * gamma_ref[0]).astype(cdt)
 
     wqkv = wqkv_ref[...]
-    q = mm(y, wqkv[:, :hidden])                       # (N, hidden) f32
+    k = mm(y, wqkv[:, hidden:2 * hidden])             # (T, hidden) f32
+    v = (mm(y, wqkv[:, 2 * hidden:]) * inv_hw).astype(cdt)
+    pk = jnp.exp(jnp.minimum(k, _K_CLAMP))
+
+    @pl.when(pl.program_id(1) == 0)
+    def _init():
+        if has_cond:
+            kc = ek_ref[0].astype(jnp.float32)        # (Mc, hidden)
+            vc = (ev_ref[0].astype(jnp.float32) * inv_hw).astype(cdt)
+            pkc = jnp.exp(jnp.minimum(kc, _K_CLAMP))
+            z_ref[0] = jnp.sum(pkc, axis=0, keepdims=True)
+            ctx_ref[0] = mm(pkc.astype(cdt), vc, dims=((0,), (0,)))
+        else:
+            z_ref[0] = jnp.zeros(z_ref.shape[1:], z_ref.dtype)
+            ctx_ref[0] = jnp.zeros(ctx_ref.shape[1:], ctx_ref.dtype)
+
+    z_ref[0] += jnp.sum(pk, axis=0, keepdims=True)
+    ctx_ref[0] += mm(pk.astype(cdt), v, dims=((0,), (0,)))
+
+
+def _merged_apply_kernel(x_ref, gamma_ref, wqkv_ref, wout_ref, obias_ref,
+                         ctx_ref, z_ref, out_ref, *, heads: int,
+                         scale: float):
+    """Per spatial tile: q feature-softmax (full-lane), context application
+    with the per-feature 1/z folded into q's lanes, out-projection and
+    residual."""
+    hidden = wout_ref.shape[0]
+    d = hidden // heads
+    t = x_ref.shape[1]
+    cdt = x_ref.dtype
+
+    def mm(a, b, dims=((1,), (0,))):
+        return jax.lax.dot_general(a, b, dimension_numbers=(dims, ((), ())),
+                                   preferred_element_type=jnp.float32)
+
+    x = x_ref[0]
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
+    y = ((xf - mu) * jax.lax.rsqrt(var + 1e-5)
+         * gamma_ref[0]).astype(cdt)
+
+    wqkv = wqkv_ref[...]
+    q = mm(y, wqkv[:, :hidden])                       # (T, hidden) f32
+
+    # per-head softmax over features; a per-row ALL-lane max is constant
+    # within each head segment, so subtracting it is exact per segment
+    eq = jnp.exp(q - jnp.max(q, axis=-1, keepdims=True))
+    brd = []
+    for h in range(heads):
+        s_h = jnp.sum(eq[:, h * d:(h + 1) * d], axis=-1, keepdims=True)
+        brd.append(jnp.broadcast_to(scale / s_h, (t, d)))
+    brd = jnp.concatenate(brd, axis=-1)               # (T, hidden) f32
+
+    # fold the per-feature 1/z[a] into q's lane a (row a of ctx_raw), mask
+    # the cross-head blocks so head h's outputs see head h's inputs only
+    qn = (eq * brd * (1.0 / z_ref[0])).astype(cdt)
+    ctx_m = (ctx_ref[0]
+             * _merged_mask(hidden, d, jnp.float32)).astype(cdt)
+    oh = mm(qn, ctx_m)                                # (T, hidden) f32
+    out_f = mm(oh.astype(cdt), wout_ref[...])         # (T, C) f32
+    out_ref[0] = (xf + obias_ref[0] + out_f).astype(out_ref.dtype)
+
+
+def _bwd_kernel_merged(x_ref, gamma_ref, wqkv_ref, wout_ref, g_ref, *refs,
+                       heads: int, scale: float, inv_hw: float,
+                       has_cond: bool):
+    """Merged-heads whole-block backward: recompute the forward VMEM-resident
+    in the `_kernel_merged` layout, then emit every cotangent — all matmuls
+    full-lane, the only per-head work is 32-lane slice reduces (q-softmax
+    segment sums, twice). Far less unrolled code than the v1 per-head
+    backward. Accumulated outputs follow the revisited-block pattern."""
+    if has_cond:
+        (ek_ref, ev_ref, dx_ref, dgamma_ref, dwqkv_ref, dwout_ref,
+         dobias_ref, dek_ref, dev_ref) = refs
+    else:
+        (dx_ref, dgamma_ref, dwqkv_ref, dwout_ref, dobias_ref) = refs
+    hidden = wout_ref.shape[0]
+    d = hidden // heads
+    n = x_ref.shape[1]
+    cdt = x_ref.dtype
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        dgamma_ref[...] = jnp.zeros_like(dgamma_ref)
+        dwqkv_ref[...] = jnp.zeros_like(dwqkv_ref)
+        dwout_ref[...] = jnp.zeros_like(dwout_ref)
+        dobias_ref[...] = jnp.zeros_like(dobias_ref)
+
+    def mm(a, b, dims=((1,), (0,))):
+        return jax.lax.dot_general(a, b, dimension_numbers=(dims, ((), ())),
+                                   preferred_element_type=jnp.float32)
+
+    def seg_bcast(t):
+        """(N, hidden) -> per-head 32-lane segment sums broadcast back."""
+        outs = []
+        for h in range(heads):
+            s_h = jnp.sum(t[:, h * d:(h + 1) * d], axis=-1, keepdims=True)
+            outs.append(jnp.broadcast_to(s_h, (n, d)))
+        return jnp.concatenate(outs, axis=-1)
+
+    # ---- forward recompute (the `_kernel_merged` math)
+    x = x_ref[0]
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
+    inv_sig = jax.lax.rsqrt(var + 1e-5)
+    xhat = (xf - mu) * inv_sig
+    gamma = gamma_ref[0]
+    y = (xhat * gamma).astype(cdt)
+
+    wqkv = wqkv_ref[...]
+    q = mm(y, wqkv[:, :hidden])
     k = mm(y, wqkv[:, hidden:2 * hidden])
     v = (mm(y, wqkv[:, 2 * hidden:]) * inv_hw).astype(cdt)
 
-    # q: per-head softmax over features. One per-row max over ALL lanes is
-    # constant within every 32-lane head segment -> subtracting it leaves
-    # each segment's softmax exact (and numerically safe).
     eq = jnp.exp(q - jnp.max(q, axis=-1, keepdims=True))
-    brd = []                                          # scale/segsum per lane
-    for h in range(heads):
-        s_h = jnp.sum(eq[:, h * d:(h + 1) * d], axis=-1, keepdims=True)
-        brd.append(jnp.broadcast_to(scale / s_h, (n, d)))
-    brd = jnp.concatenate(brd, axis=-1)               # (N, hidden) f32
+    qn = eq * (scale / seg_bcast(eq))                 # scale*softmax_seg(q)
+    qn_c = qn.astype(cdt)
 
-    # k: per-feature softmax over tokens = [cond block | video block],
-    # reduced jointly without concatenation (sublane reduces, full lanes)
     if has_cond:
-        kc = ek_ref[0].astype(jnp.float32)            # (Mc, hidden)
+        kc = ek_ref[0].astype(jnp.float32)
         vc = (ev_ref[0].astype(jnp.float32) * inv_hw).astype(cdt)
         mx = jnp.maximum(jnp.max(k, axis=0, keepdims=True),
                          jnp.max(kc, axis=0, keepdims=True))
         pk = jnp.exp(k - mx)
         pkc = jnp.exp(kc - mx)
-        z = (jnp.sum(pk, axis=0, keepdims=True)
-             + jnp.sum(pkc, axis=0, keepdims=True))
-        inv_z = 1.0 / z
-        ctx = mm((pk * inv_z).astype(cdt), v, dims=((0,), (0,)))
-        ctx = ctx + mm((pkc * inv_z).astype(cdt), vc, dims=((0,), (0,)))
+        inv_z = 1.0 / (jnp.sum(pk, axis=0, keepdims=True)
+                       + jnp.sum(pkc, axis=0, keepdims=True))
+        pk_n = pk * inv_z
+        pkc_n = pkc * inv_z
+        pk_c = pk_n.astype(cdt)
+        pkc_c = pkc_n.astype(cdt)
+        ctx = mm(pk_c, v, dims=((0,), (0,)))
+        ctx = ctx + mm(pkc_c, vc, dims=((0,), (0,)))
     else:
         mx = jnp.max(k, axis=0, keepdims=True)
         pk = jnp.exp(k - mx)
-        inv_z = 1.0 / jnp.sum(pk, axis=0, keepdims=True)
-        ctx = mm((pk * inv_z).astype(cdt), v, dims=((0,), (0,)))
+        pk_n = pk / jnp.sum(pk, axis=0, keepdims=True)
+        pk_c = pk_n.astype(cdt)
+        ctx = mm(pk_c, v, dims=((0,), (0,)))
 
-    # zero the cross-head blocks; head h's output lanes then depend on head
-    # h's q/k/v lanes only, making the output-lane normalizer exact
     row = jax.lax.broadcasted_iota(jnp.int32, (hidden, hidden), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (hidden, hidden), 1)
-    ctx_m = jnp.where(row // d == col // d, ctx, 0.0).astype(cdt)
+    blockdiag = row // d == col // d
+    ctx_m = jnp.where(blockdiag, ctx, 0.0).astype(cdt)
+    oh = mm(qn_c, ctx_m)                              # (N, hidden) f32
 
-    oh = mm(eq.astype(cdt), ctx_m) * brd              # (N, hidden) f32
-    out_f = mm(oh.astype(cdt), wout_ref[...])         # (N, C) f32
-    out_ref[0] = (xf + obias_ref[0] + out_f).astype(out_ref.dtype)
+    # ---- backward
+    g_c = g_ref[0]
+    g32 = g_c.astype(jnp.float32)
+    dobias_ref[...] += jnp.sum(g32, axis=0, keepdims=True)
+    dwout_ref[...] += mm(oh.astype(cdt), g_c, dims=((0,), (0,)))
+    g_oh = mm(g_c, wout_ref[...], dims=((1,), (1,)))  # (N, hidden) f32
+    g_oh_c = g_oh.astype(cdt)
+
+    d_qn = mm(g_oh_c, ctx_m, dims=((1,), (1,)))       # (N, hidden) f32
+    d_ctx = mm(qn_c, g_oh_c, dims=((0,), (0,)))       # (hidden, hidden)
+    d_ctx_c = jnp.where(blockdiag, d_ctx, 0.0).astype(cdt)
+
+    # qn = scale * softmax_seg(q):
+    # dq = qn*d_qn - (qn/scale) * seg_sum(qn*d_qn)
+    t = qn * d_qn
+    dq = t - (qn * (1.0 / scale)) * seg_bcast(t)
+
+    # ctx backward (per-feature token softmax shared with the cond block)
+    d_v = mm(pk_c, d_ctx_c)                           # (N, hidden) f32
+    d_pk_n = mm(v, d_ctx_c, dims=((1,), (1,)))        # (N, hidden) f32
+    col_s = jnp.sum(pk_n * d_pk_n, axis=0, keepdims=True)
+    if has_cond:
+        d_vc = mm(pkc_c, d_ctx_c) * inv_hw            # (Mc, hidden)
+        d_pkc_n = mm(vc, d_ctx_c, dims=((1,), (1,)))
+        col_s = col_s + jnp.sum(pkc_n * d_pkc_n, axis=0, keepdims=True)
+        d_kc = pkc_n * (d_pkc_n - col_s)
+        dek_ref[0] = d_kc.astype(dek_ref.dtype)
+        dev_ref[0] = d_vc.astype(dev_ref.dtype)
+    d_k = pk_n * (d_pk_n - col_s)
+
+    dq_c = dq.astype(cdt)
+    dk_c = d_k.astype(cdt)
+    dv_c = (d_v * inv_hw).astype(cdt)
+    dwqkv_ref[...] += jnp.concatenate(
+        [mm(y, dq_c, dims=((0,), (0,))),
+         mm(y, dk_c, dims=((0,), (0,))),
+         mm(y, dv_c, dims=((0,), (0,)))], axis=1)     # (C, 3*hidden)
+    d_y = (mm(dq_c, wqkv[:, :hidden], dims=((1,), (1,)))
+           + mm(dk_c, wqkv[:, hidden:2 * hidden], dims=((1,), (1,)))
+           + mm(dv_c, wqkv[:, 2 * hidden:], dims=((1,), (1,))))
+
+    dgamma_ref[...] += jnp.sum(xhat * d_y, axis=0, keepdims=True)
+    dxh = d_y * gamma
+    m1 = jnp.mean(dxh, axis=-1, keepdims=True)
+    m2 = jnp.mean(dxh * xhat, axis=-1, keepdims=True)
+    dx = inv_sig * (dxh - m1 - xhat * m2) + g32
+    dx_ref[0] = dx.astype(dx_ref.dtype)
 
 
 def _kernel(x_ref, gamma_ref, wqkv_ref, wout_ref, obias_ref, *refs, heads: int,
@@ -385,9 +557,10 @@ def _bwd_kernel_env() -> bool:
 def _core_bwd(heads, scale, spatial_size, interpret, bwd_kernel, layout,
               residuals, g):
     if bwd_kernel or _bwd_kernel_env():
-        return _run_bwd_kernel(residuals, g, heads=heads, scale=scale,
-                               spatial_size=spatial_size,
-                               interpret=interpret)
+        run = (_run_bwd_kernel_merged if layout == "merged"
+               else _run_bwd_kernel)
+        return run(residuals, g, heads=heads, scale=scale,
+                   spatial_size=spatial_size, interpret=interpret)
     x, gamma, w_qkv, w_out, out_bias, ek, ev = residuals
     _, vjp = jax.vjp(
         lambda *args: reference_linear_block(
@@ -476,36 +649,32 @@ def _run_bwd_kernel(residuals, g, *, heads, scale, spatial_size, interpret):
             dek, dev)
 
 
-fused_linear_block_core.defvjp(_core_fwd, _core_bwd)
-
-
-def _run_kernel_merged(x, gamma, w_qkv, w_out, out_bias, ek, ev, *, heads,
-                       scale, spatial_size, interpret):
-    """pallas_call plumbing for `_kernel_merged`: all weights and the
-    conditioning tokens stay in PRIMAL layout — no head-leading reshapes."""
+def _run_bwd_kernel_merged(residuals, g, *, heads, scale, spatial_size,
+                           interpret):
+    """pallas_call plumbing for `_bwd_kernel_merged`: primal weight layouts,
+    cotangents in custom-VJP argument order. One grid cell per folded frame
+    (not yet spatially tiled — see the forward's tiling note)."""
+    x, gamma, w_qkv, w_out, out_bias, ek, ev = residuals
     b, n, c = x.shape
     hd = w_out.shape[0]
     has_cond = ek is not None
 
     gamma2 = gamma.reshape(1, -1).astype(jnp.float32)
-    obias2 = out_bias.reshape(1, -1).astype(jnp.float32)
 
     grid = (b,)
-    kernel = functools.partial(_kernel_merged, heads=heads, scale=scale,
+    kernel = functools.partial(_bwd_kernel_merged, heads=heads, scale=scale,
                                inv_hw=1.0 / spatial_size, has_cond=has_cond)
     x_spec = pl.BlockSpec((1, n, c), lambda i: (i, 0, 0),
                           memory_space=pltpu.VMEM)
     row_spec = pl.BlockSpec((1, c), lambda i: (0, 0),
                             memory_space=pltpu.VMEM)
-    in_specs = [
-        x_spec,
-        row_spec,
-        pl.BlockSpec((c, 3 * hd), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((hd, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        row_spec,
-    ]
+    wqkv_spec = pl.BlockSpec((c, 3 * hd), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM)
+    wout_spec = pl.BlockSpec((hd, c), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM)
+    in_specs = [x_spec, row_spec, wqkv_spec, wout_spec, x_spec]
     operands = [x, gamma2, w_qkv.astype(x.dtype), w_out.astype(x.dtype),
-                obias2]
+                g.astype(x.dtype)]
     if has_cond:
         m_c = ek.shape[1]
         cond_spec = pl.BlockSpec((1, m_c, hd), lambda i: (i, 0, 0),
@@ -513,16 +682,120 @@ def _run_kernel_merged(x, gamma, w_qkv, w_out, out_bias, ek, ev, *, heads,
         in_specs += [cond_spec, cond_spec]
         operands += [ek, ev]
 
-    return pl.pallas_call(
+    out_shapes = [
+        jax.ShapeDtypeStruct((b, n, c), x.dtype),              # dx
+        jax.ShapeDtypeStruct((1, c), jnp.float32),             # dgamma
+        jax.ShapeDtypeStruct((c, 3 * hd), jnp.float32),        # dwqkv
+        jax.ShapeDtypeStruct((hd, c), jnp.float32),            # dwout
+        jax.ShapeDtypeStruct((1, c), jnp.float32),             # dobias
+    ]
+    out_specs = [x_spec, row_spec, wqkv_spec, wout_spec, row_spec]
+    if has_cond:
+        out_shapes += [jax.ShapeDtypeStruct((b, m_c, hd), jnp.float32),
+                       jax.ShapeDtypeStruct((b, m_c, hd), jnp.float32)]
+        out_specs += [cond_spec, cond_spec]
+
+    outs = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((b, n, c), x.dtype),
+        out_shape=out_shapes,
         grid=grid,
         in_specs=in_specs,
-        out_specs=x_spec,
+        out_specs=out_specs,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(*operands)
+
+    dx, dgamma, dwqkv, dwout, dobias = outs[:5]
+    dek = dev = None
+    if has_cond:
+        dek = outs[5].astype(ek.dtype)
+        dev = outs[6].astype(ev.dtype)
+    return (dx, dgamma.reshape(gamma.shape).astype(gamma.dtype),
+            dwqkv.astype(w_qkv.dtype), dwout.astype(w_out.dtype),
+            dobias.reshape(out_bias.shape).astype(out_bias.dtype),
+            dek, dev)
+
+
+fused_linear_block_core.defvjp(_core_fwd, _core_bwd)
+
+
+def _pick_tile_merged(n: int) -> int:
+    for t in (2304, 1152, 768, 512, 384, 256, 128):
+        if n % t == 0:
+            return t
+    return n
+
+
+def _run_kernel_merged(x, gamma, w_qkv, w_out, out_bias, ek, ev, *, heads,
+                       scale, spatial_size, interpret):
+    """Two spatially-tiled pallas_calls (stats, then apply): all weights and
+    the conditioning tokens stay in PRIMAL layout — no head-leading
+    reshapes. VMEM per grid cell is bounded by the tile size, not N."""
+    b, n, c = x.shape
+    hd = w_out.shape[0]
+    has_cond = ek is not None
+    tile = _pick_tile_merged(n)
+    n_tiles = n // tile
+
+    gamma2 = gamma.reshape(1, -1).astype(jnp.float32)
+    obias2 = out_bias.reshape(1, -1).astype(jnp.float32)
+    wqkv_c = w_qkv.astype(x.dtype)
+
+    x_spec = pl.BlockSpec((1, tile, c), lambda i, t: (i, t, 0),
+                          memory_space=pltpu.VMEM)
+    row_spec = pl.BlockSpec((1, c), lambda i, t: (0, 0),
+                            memory_space=pltpu.VMEM)
+    wqkv_spec = pl.BlockSpec((c, 3 * hd), lambda i, t: (0, 0),
+                             memory_space=pltpu.VMEM)
+    params = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
+    # ---- stats kernel: ctx_raw (B, hd, hd) + z (B, 1, hd), accumulated
+    # across the tile axis (revisited output blocks, zeroed at tile 0)
+    stats_in_specs = [x_spec, row_spec, wqkv_spec]
+    stats_operands = [x, gamma2, wqkv_c]
+    if has_cond:
+        m_c = ek.shape[1]
+        cond_spec = pl.BlockSpec((1, m_c, hd), lambda i, t: (i, 0, 0),
+                                 memory_space=pltpu.VMEM)
+        stats_in_specs += [cond_spec, cond_spec]
+        stats_operands += [ek, ev]
+    ctx_raw, z = pl.pallas_call(
+        functools.partial(_merged_stats_kernel, heads=heads,
+                          inv_hw=1.0 / spatial_size, has_cond=has_cond),
+        out_shape=[jax.ShapeDtypeStruct((b, hd, hd), jnp.float32),
+                   jax.ShapeDtypeStruct((b, 1, hd), jnp.float32)],
+        grid=(b, n_tiles),
+        in_specs=stats_in_specs,
+        out_specs=[pl.BlockSpec((1, hd, hd), lambda i, t: (i, 0, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((1, 1, hd), lambda i, t: (i, 0, 0),
+                                memory_space=pltpu.VMEM)],
+        compiler_params=params,
+        interpret=interpret,
+    )(*stats_operands)
+
+    # ---- apply kernel: per-tile q softmax + context application + out
+    return pl.pallas_call(
+        functools.partial(_merged_apply_kernel, heads=heads, scale=scale),
+        out_shape=jax.ShapeDtypeStruct((b, n, c), x.dtype),
+        grid=(b, n_tiles),
+        in_specs=[
+            x_spec,
+            row_spec,
+            wqkv_spec,
+            pl.BlockSpec((hd, c), lambda i, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            row_spec,
+            pl.BlockSpec((1, hd, hd), lambda i, t: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, hd), lambda i, t: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=x_spec,
+        compiler_params=params,
+        interpret=interpret,
+    )(x, gamma2, wqkv_c, w_out.astype(x.dtype), obias2, ctx_raw, z)
 
 
 def _run_kernel(x, gamma, w_qkv, w_out, out_bias, ek, ev, *, heads, scale,
