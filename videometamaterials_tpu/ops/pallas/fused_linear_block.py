@@ -868,15 +868,17 @@ def fused_linear_block(x, gamma, w_qkv, w_out, out_bias, ek, ev, *,
     scaling denominator, vddp.py:371).
     Returns x + block(x), differentiable. bwd_kernel=True (or env
     VMT_LINEAR_BWD_KERNEL=1) uses the whole-block backward kernel in place
-    of the XLA-reference vjp. layout: 'merged' (all heads in full-lane
-    arrays, `_kernel_merged`) or 'head' (the v1 per-head loop); env
-    VMT_LINEAR_LAYOUT overrides the default."""
+    of the XLA-reference vjp. layout: 'merged' (default; all heads in
+    full-lane tiled arrays — measured 20.1-20.3 vs the v1 per-head loop's
+    32.2-32.7 ms/block and bench 8.46 vs 7.89 videos/min, BENCH_NOTES
+    round-3) or 'head' (the v1 per-head loop); env VMT_LINEAR_LAYOUT
+    overrides the default."""
     if interpret is None:
         import os
         interpret = os.environ.get("VMT_PALLAS_INTERPRET", "") == "1"
     if layout is None:
         import os
-        layout = os.environ.get("VMT_LINEAR_LAYOUT", "head")
+        layout = os.environ.get("VMT_LINEAR_LAYOUT", "merged")
     return fused_linear_block_core(x, gamma, w_qkv, w_out, out_bias, ek, ev,
                                    heads, scale, spatial_size, interpret,
                                    bwd_kernel, layout)
