@@ -66,7 +66,7 @@ def _selector(hidden: int, heads: int, dtype):
 def _kernel(x_ref, gamma_ref, wall_ref, wout_ref, bias_ref, *refs,
             f: int, heads: int, d: int, has_cond: bool, t_tok: int):
     if has_cond:
-        eksel_ref, evexp_ref, out_ref = refs
+        ek_ref, ev_ref, out_ref = refs
     else:
         (out_ref,) = refs
     hidden = heads * d
@@ -97,18 +97,14 @@ def _kernel(x_ref, gamma_ref, wall_ref, wout_ref, bias_ref, *refs,
         k.append(qkv[:, hidden:2 * hidden])
         v.append(qkv[:, 2 * hidden:])
 
+    ekh, evh = [], []
+    if has_cond:
+        for ti in range(t_tok):
+            ekh.append(ek_ref[0, ti].reshape(1, hidden))  # (1, hidden)
+            evh.append(ev_ref[0, ti].reshape(1, hidden))
+
     bias = bias_ref[...]                                  # (F, F+T, heads)
     w_out_mat = wout_ref[...]
-
-    # Conditioning keys/values are per-frame CONSTANTS across positions, so
-    # their score and expand phases fold into two per-batch matrices built
-    # outside the kernel (round-3 fold, see _run_kernel): scores for ALL
-    # (t, h) at once via q_i @ Ek_sel (one K=hidden matmul replaces t_tok
-    # 16x-padded selector matmuls), and the value accumulation via one
-    # (TS, t_tok*heads) @ Ev_exp matmul (replaces t_tok expand matmuls).
-    if has_cond:
-        eksel = eksel_ref[0]                              # (hidden, T*heads)
-        evexp = evexp_ref[0]                              # (T*heads, hidden)
 
     # ---- per query frame: scores -> softmax -> values -> out-proj
     for i in range(f):
@@ -119,10 +115,10 @@ def _kernel(x_ref, gamma_ref, wall_ref, wout_ref, bias_ref, *refs,
             sim = mm(prod, sel)                           # (TS, heads) f32
             sims.append(sim + bias[i, j].reshape(1, heads))
         if has_cond:
-            csim = mm(q_i, eksel)                         # (TS, T*heads) f32
             for ti in range(t_tok):
-                sims.append(csim[:, ti * heads:(ti + 1) * heads]
-                            + bias[i, f + ti].reshape(1, heads))
+                prod = q_i * ekh[ti].astype(jnp.bfloat16)
+                sim = mm(prod, sel)
+                sims.append(sim + bias[i, f + ti].reshape(1, heads))
 
         m = sims[0]
         for s_ in sims[1:]:
@@ -139,10 +135,9 @@ def _kernel(x_ref, gamma_ref, wall_ref, wout_ref, bias_ref, *refs,
                    expand)                                # (TS, hidden) f32
             acc = acc + a * v[j].astype(jnp.float32)
         if has_cond:
-            pc = jnp.concatenate(
-                [es[f + ti] * inv_z for ti in range(t_tok)],
-                axis=1).astype(jnp.bfloat16)              # (TS, T*heads)
-            acc = acc + mm(pc, evexp)                     # (TS, hidden) f32
+            for ti in range(t_tok):
+                a = mm((es[f + ti] * inv_z).astype(jnp.bfloat16), expand)
+                acc = acc + a * evh[ti].astype(jnp.float32)
 
         out_f = mm(acc.astype(jnp.bfloat16), w_out_mat)   # (TS, C) f32
         out_ref[0, i] = (xs[i].astype(jnp.float32)
@@ -534,31 +529,11 @@ def _run_kernel(x, gamma, w_all, w_out, ek, ev, bias_all, *, heads, tile,
     operands = [x, gamma2, w_all.astype(jnp.bfloat16),
                 w_out.astype(jnp.bfloat16), bias2]
     if has_cond:
-        # Fold the position-constant conditioning K/V into two per-batch
-        # matrices (XLA, trivial FLOPs): Ek_sel[b, lane, t*H + h] =
-        # ek[b, t, lane] * [head(lane) == h] makes q_i @ Ek_sel the scores
-        # for all (t, h) at once; Ev_exp[b, t*H + h, lane] =
-        # ev[b, t, lane] * [head(lane) == h] makes one matmul of the
-        # softmaxed cond weights accumulate all cond values. Replaces
-        # 2*t_tok 16x-padded selector/expand matmuls per query frame with
-        # 1 + 1 (t_tok*heads = 88-lane) matmuls — roughly half the
-        # kernel's padded MXU work at t_tok == f.
-        sel_np = _selector(hidden, heads, jnp.bfloat16)   # (hidden, heads)
-        eksel = (ek.astype(jnp.bfloat16).transpose(0, 2, 1)[:, :, :, None]
-                 * sel_np[None, :, None, :]).reshape(b, hidden,
-                                                     t_tok * heads)
-        evexp = (ev.astype(jnp.bfloat16)[:, :, None, :]
-                 * sel_np.T[None, None, :, :]).reshape(b, t_tok * heads,
-                                                       hidden)
-        in_specs += [
-            pl.BlockSpec((1, hidden, t_tok * heads),
-                         lambda bi, ti: (bi, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, t_tok * heads, hidden),
-                         lambda bi, ti: (bi, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ]
-        operands += [eksel, evexp]
+        cond_spec = pl.BlockSpec((1, t_tok, hidden),
+                                 lambda bi, ti: (bi, 0, 0),
+                                 memory_space=pltpu.VMEM)
+        in_specs += [cond_spec, cond_spec]
+        operands += [ek.astype(jnp.bfloat16), ev.astype(jnp.bfloat16)]
 
     return pl.pallas_call(
         kernel,
