@@ -41,6 +41,9 @@ _FOLDED = ftb.fused_temporal_block
 _PREFOLD = prefold.fused_temporal_block
 
 
+_SALT = [os.getpid() % 100_000]
+
+
 def chain_timer(name, block_apply, x0):
     def body(x, _):
         y = block_apply(x)
@@ -51,12 +54,19 @@ def chain_timer(name, block_apply, x0):
         out, _ = jax.lax.scan(body, x, None, length=ITERS)
         return out
 
+    def fresh():
+        # unique input per execution: the relay memoizes identical
+        # (program, input) runs and can replay them in ~0 ms
+        _SALT[0] += 1
+        # step must survive bf16 rounding (eps ~ 0.004 near 1.0)
+        return x0 * (1.0 + (_SALT[0] % 13) * 0.01)
+
     try:
         t0 = time.time()
-        jax.block_until_ready(run(x0))
+        jax.block_until_ready(run(fresh()))
         compile_s = time.time() - t0
         t0 = time.time()
-        jax.block_until_ready(run(x0 * 1.001))
+        jax.block_until_ready(run(fresh()))
         ms = (time.time() - t0) / ITERS * 1000
         print(json.dumps({"block": name, "ms_per_apply": round(ms, 1),
                           "first_run_s": round(compile_s, 1)}), flush=True)

@@ -236,16 +236,23 @@ def test_unet_from_config_bwd_kernels_plumbed(monkeypatch):
                         lambda self: self.use_fused_block)
     calls = {"lin": 0, "tmp": 0}
     orig_lin, orig_tmp = fl._run_bwd_kernel, ft._run_bwd_kernel
+    orig_lin_m = fl._run_bwd_kernel_merged
 
     def count_lin(*a, **k):
         calls["lin"] += 1
         return orig_lin(*a, **k)
+
+    def count_lin_m(*a, **k):
+        # merged layout (the default) routes to its own bwd kernel
+        calls["lin"] += 1
+        return orig_lin_m(*a, **k)
 
     def count_tmp(*a, **k):
         calls["tmp"] += 1
         return orig_tmp(*a, **k)
 
     monkeypatch.setattr(fl, "_run_bwd_kernel", count_lin)
+    monkeypatch.setattr(fl, "_run_bwd_kernel_merged", count_lin_m)
     monkeypatch.setattr(ft, "_run_bwd_kernel", count_tmp)
 
     kw = dict(image_size=16, num_frames=3, unet_dim=8, dim_mults=(1, 2),
