@@ -54,9 +54,10 @@ def main():
     st = os.environ.get("VMT_BENCH_TEMPORAL_STILE", "")
     st = int(st) if st.isdigit() else None
     # VMT_BENCH_FUSED_LINEAR: same A/B hook for the linear kernel
-    # ('off' | 'level0' | 'all' | int N). Default level0 (measured optimum;
-    # 'all' was in-graph-neutral pre-temporal-kernel, BENCH_NOTES round 2).
-    fl = os.environ.get("VMT_BENCH_FUSED_LINEAR", "level0")
+    # ('off' | 'level0' | 'all' | int N). Default 'all' since the
+    # merged-heads layout: bench 8.86 ('all') vs 8.79 (level0),
+    # reproduced pre-fold as 8.52 vs 8.46 (BENCH_NOTES round 3).
+    fl = os.environ.get("VMT_BENCH_FUSED_LINEAR", "all")
     fl = int(fl) if fl.isdigit() else (False if fl in ("", "off") else fl)
     # VMT_BENCH_BF16_WEIGHTS: A/B hook for bf16 weight copies in the
     # sampling scans ('off' to disable). Bit-identical output either way
