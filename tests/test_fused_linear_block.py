@@ -283,3 +283,39 @@ def test_unet_from_config_bwd_kernels_plumbed(monkeypatch):
                                    rtol=0, atol=0.35)
 
     jax.tree_util.tree_map(close, g_fb, g_f)
+
+
+def test_merged_layout_finite_under_extreme_scales():
+    """Numerical-stability regression: the merged layout must stay finite
+    (and, for the q softmax, exact) where its first form NaN'd.
+
+    (a) one head's q logits sitting ~200 above the others' used to zero
+    the other heads' segment sums via the shared all-lane row max
+    (s_h=0 -> inf -> NaN); the per-head max shift matches the reference.
+    (b) a feature whose k logits all sit below exp's underflow used to
+    give z=0 -> 1/z=inf; the symmetric k clamp keeps z positive (the
+    output deviates from the exact softmax only in that saturated regime,
+    so (b) asserts finiteness, not parity)."""
+    args = list(_inputs(0))
+    w_qkv = np.asarray(args[2]).copy()
+    w_qkv[:, 0:D] *= 1000.0                      # head-0 q logits ~O(300)
+    args[2] = jnp.asarray(w_qkv)
+    got = np.asarray(fused_linear_block(
+        *args, heads=HEADS, scale=D ** -0.5, spatial_size=N, interpret=True,
+        layout="merged"))
+    assert np.isfinite(got).all()
+    want = np.asarray(reference_linear_block(
+        *args, heads=HEADS, scale=D ** -0.5, spatial_size=N))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+    args = list(_inputs(0))
+    x = np.asarray(args[0]).copy()
+    x[:, :, 0] = 10.0                            # y[:, 0] large positive
+    w_qkv = np.asarray(args[2]).copy()
+    w_qkv[:, HD:2 * HD] = 0.0
+    w_qkv[0, HD] = -80.0                         # k[:, 0] ~ -200 everywhere
+    args[0], args[2] = jnp.asarray(x), jnp.asarray(w_qkv)
+    got = np.asarray(fused_linear_block(
+        *args, heads=HEADS, scale=D ** -0.5, spatial_size=N, interpret=True,
+        layout="merged"))
+    assert np.isfinite(got).all()

@@ -280,3 +280,29 @@ def test_fused_in_training_with_bwd_kernels_steps(data_dirs, monkeypatch):
                                       jnp.asarray(v), jnp.asarray(c), rng)
     assert np.isfinite(float(loss))
     assert calls["n"] > 0  # backward kernels ran inside the train step
+
+
+def test_plan_split_preserves_diffusion_customization(data_dirs,
+                                                      monkeypatch):
+    """The training-plan rebuild must derive from the PASSED diffusion
+    object, not a from_config reconstruction: caller customizations beyond
+    model_cfg (loss_type here) have to survive into the loss/grad path."""
+    import dataclasses
+
+    monkeypatch.setenv("VMT_PALLAS_INTERPRET", "1")
+    root, train_dir, val_dir = data_dirs
+    mcfg = _tiny_mcfg(use_fused_linear_block=True,
+                      use_fused_temporal_block=True)
+    tcfg = TrainerConfig(train_num_steps=2, save_and_sample_every=1000,
+                         test_batch_size=2, ema_start_step=1,
+                         ema_update_every=1, log=False, seed=0)
+    model = UNet3D.from_config(mcfg)
+    diffusion = dataclasses.replace(
+        GaussianDiffusion.from_config(model, mcfg), loss_type="l2")
+    tr = Trainer(diffusion, mcfg, tcfg, train_dir, val_dir,
+                 results_folder=root / "runs" / "customdiff",
+                 run_name="customdiff")
+    assert tr._train_diffusion is not tr.diffusion
+    assert tr._train_diffusion.loss_type == "l2"
+    assert not tr._train_diffusion.model.use_fused_linear_block
+    assert not tr._train_diffusion.model.use_fused_temporal_block

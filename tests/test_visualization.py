@@ -85,3 +85,18 @@ def test_create_visualization_eulerian(tmp_path):
                                0, 0, ref_frame="eulerian")
     from pathlib import Path
     assert (Path(out) / "visualization.gif").exists()
+
+
+def test_load_frame_ranges_single_row_trailing_delimiter(tmp_path):
+    """A 1-row frame_range file with a trailing comma (NaN last column)
+    must be used as-is, not filtered to an empty array (regression: the
+    row-NaN filter crashed the min/max reductions)."""
+    from videometamaterials_tpu.postproc.visualization import (
+        load_frame_ranges,
+    )
+
+    f = tmp_path / "frame_range.csv"
+    f.write_text("1.0,2.0,3.0,4.0,\n")
+    u_ranges, (lo, hi) = load_frame_ranges(str(f), "eulerian")
+    assert u_ranges is None
+    assert (lo, hi) == (2.0, 3.0)

@@ -51,7 +51,6 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from videometamaterials_tpu.ops.norms import channel_layer_norm
-from videometamaterials_tpu.ops.pallas.fused_temporal_block import _selector
 
 
 # Merged-heads layout (round-3 v2): all heads share full-lane (N, hidden)
@@ -83,10 +82,13 @@ from videometamaterials_tpu.ops.pallas.fused_temporal_block import _selector
 # so a STATS kernel accumulates the unnormalized ctx_raw and z across
 # spatial tiles (plus the conditioning block once), and an APPLY kernel
 # computes per-tile q-softmax and output with 1/z[a] folded into q's lanes
-# (no transposes). exp(k) runs without a max shift — k is clamped at +60,
-# an exact identity for any sane activation scale (f32 exp overflows at
-# ~88.7; the clamp keeps the saturated regime finite like the reference's
-# max-shifted softmax).
+# (no transposes). exp(k) runs without a max shift (the tiled stats pass
+# cannot see all tokens before exponentiating); k is clamped SYMMETRICALLY
+# at +/-60 instead: the high clamp keeps exp finite (f32 overflows at
+# ~88.7), the low clamp keeps every z[a] >= count*e^-60 > 0 so 1/z never
+# becomes inf even if a feature's logits all underflow. Exact identity
+# whenever |k| <= 60 — beyond that only tokens with true softmax weight
+# ~e^-60 of the max are affected.
 
 _K_CLAMP = 60.0
 
@@ -123,14 +125,14 @@ def _merged_stats_kernel(x_ref, gamma_ref, wqkv_ref, *refs, heads: int,
     wqkv = wqkv_ref[...]
     k = mm(y, wqkv[:, hidden:2 * hidden])             # (T, hidden) f32
     v = (mm(y, wqkv[:, 2 * hidden:]) * inv_hw).astype(cdt)
-    pk = jnp.exp(jnp.minimum(k, _K_CLAMP))
+    pk = jnp.exp(jnp.clip(k, -_K_CLAMP, _K_CLAMP))
 
     @pl.when(pl.program_id(1) == 0)
     def _init():
         if has_cond:
             kc = ek_ref[0].astype(jnp.float32)        # (Mc, hidden)
             vc = (ev_ref[0].astype(jnp.float32) * inv_hw).astype(cdt)
-            pkc = jnp.exp(jnp.minimum(kc, _K_CLAMP))
+            pkc = jnp.exp(jnp.clip(kc, -_K_CLAMP, _K_CLAMP))
             z_ref[0] = jnp.sum(pkc, axis=0, keepdims=True)
             ctx_ref[0] = mm(pkc.astype(cdt), vc, dims=((0,), (0,)))
         else:
@@ -166,13 +168,19 @@ def _merged_apply_kernel(x_ref, gamma_ref, wqkv_ref, wout_ref, obias_ref,
     wqkv = wqkv_ref[...]
     q = mm(y, wqkv[:, :hidden])                       # (T, hidden) f32
 
-    # per-head softmax over features; a per-row ALL-lane max is constant
-    # within each head segment, so subtracting it is exact per segment
-    eq = jnp.exp(q - jnp.max(q, axis=-1, keepdims=True))
-    brd = []
+    # per-head softmax over features with a PER-HEAD max shift: shifting
+    # by the all-lane row max is algebraically exact but underflows a
+    # whole head segment to zero (s_h=0 -> inf/NaN) when its logits sit
+    # ~88+ below another head's max; the per-head shift guarantees
+    # s_h >= 1, matching the head-layout kernel and the XLA reference
+    eqs, brd = [], []
     for h in range(heads):
-        s_h = jnp.sum(eq[:, h * d:(h + 1) * d], axis=-1, keepdims=True)
+        q_h = q[:, h * d:(h + 1) * d]
+        e_h = jnp.exp(q_h - jnp.max(q_h, axis=-1, keepdims=True))
+        s_h = jnp.sum(e_h, axis=-1, keepdims=True)
+        eqs.append(e_h)
         brd.append(jnp.broadcast_to(scale / s_h, (t, d)))
+    eq = jnp.concatenate(eqs, axis=-1)                # (T, hidden) f32
     brd = jnp.concatenate(brd, axis=-1)               # (T, hidden) f32
 
     # fold the per-feature 1/z[a] into q's lane a (row a of ctx_raw), mask
@@ -237,17 +245,24 @@ def _bwd_kernel_merged(x_ref, gamma_ref, wqkv_ref, wout_ref, g_ref, *refs,
     k = mm(y, wqkv[:, hidden:2 * hidden])
     v = (mm(y, wqkv[:, 2 * hidden:]) * inv_hw).astype(cdt)
 
-    eq = jnp.exp(q - jnp.max(q, axis=-1, keepdims=True))
+    # per-head max shift (mirrors _merged_apply_kernel: the all-lane row
+    # max can underflow a whole head segment to zero -> inf/NaN)
+    eqs = []
+    for h in range(heads):
+        q_h = q[:, h * d:(h + 1) * d]
+        eqs.append(jnp.exp(q_h - jnp.max(q_h, axis=-1, keepdims=True)))
+    eq = jnp.concatenate(eqs, axis=-1)
     qn = eq * (scale / seg_bcast(eq))                 # scale*softmax_seg(q)
     qn_c = qn.astype(cdt)
 
     if has_cond:
         kc = ek_ref[0].astype(jnp.float32)
         vc = (ev_ref[0].astype(jnp.float32) * inv_hw).astype(cdt)
-        mx = jnp.maximum(jnp.max(k, axis=0, keepdims=True),
-                         jnp.max(kc, axis=0, keepdims=True))
-        pk = jnp.exp(k - mx)
-        pkc = jnp.exp(kc - mx)
+        # clamp form mirrors the forward stats kernel (the bwd
+        # differentiates the function the forward actually computes);
+        # the clip's true derivative is applied to d_k below
+        pk = jnp.exp(jnp.clip(k, -_K_CLAMP, _K_CLAMP))
+        pkc = jnp.exp(jnp.clip(kc, -_K_CLAMP, _K_CLAMP))
         inv_z = 1.0 / (jnp.sum(pk, axis=0, keepdims=True)
                        + jnp.sum(pkc, axis=0, keepdims=True))
         pk_n = pk * inv_z
@@ -257,8 +272,7 @@ def _bwd_kernel_merged(x_ref, gamma_ref, wqkv_ref, wout_ref, g_ref, *refs,
         ctx = mm(pk_c, v, dims=((0,), (0,)))
         ctx = ctx + mm(pkc_c, vc, dims=((0,), (0,)))
     else:
-        mx = jnp.max(k, axis=0, keepdims=True)
-        pk = jnp.exp(k - mx)
+        pk = jnp.exp(jnp.clip(k, -_K_CLAMP, _K_CLAMP))
         pk_n = pk / jnp.sum(pk, axis=0, keepdims=True)
         pk_c = pk_n.astype(cdt)
         ctx = mm(pk_c, v, dims=((0,), (0,)))
@@ -294,10 +308,11 @@ def _bwd_kernel_merged(x_ref, gamma_ref, wqkv_ref, wout_ref, g_ref, *refs,
         d_vc = mm(pkc_c, d_ctx_c) * inv_hw            # (Mc, hidden)
         d_pkc_n = mm(vc, d_ctx_c, dims=((1,), (1,)))
         col_s = col_s + jnp.sum(pkc_n * d_pkc_n, axis=0, keepdims=True)
-        d_kc = pkc_n * (d_pkc_n - col_s)
+        d_kc = jnp.where(jnp.abs(kc) < _K_CLAMP,
+                         pkc_n * (d_pkc_n - col_s), 0.0)
         dek_ref[0] = d_kc.astype(dek_ref.dtype)
         dev_ref[0] = d_vc.astype(dev_ref.dtype)
-    d_k = pk_n * (d_pk_n - col_s)
+    d_k = jnp.where(jnp.abs(k) < _K_CLAMP, pk_n * (d_pk_n - col_s), 0.0)
 
     dq_c = dq.astype(cdt)
     dk_c = d_k.astype(cdt)
@@ -487,7 +502,7 @@ def _bwd_kernel(x_ref, gamma_ref, wqkv_ref, wout_ref, g_ref, *refs,
             s_feat = jnp.sum(pk * dpk, axis=0, keepdims=True)
             dk = pk * (dpk - s_feat)
         dqkv = jnp.concatenate([dq, dk, dv],
-                               axis=1).astype(jnp.bfloat16)  # (N, 3d)
+                               axis=1).astype(x.dtype)   # (N, 3d)
         dwqkv_ref[h] += dot(y, dqkv, ((0,), (0,)))     # (C, 3d)
         dy = dy + dot(dqkv, wqkv_ref[h], ((1,), (1,)))  # (N, C)
 
@@ -557,8 +572,18 @@ def _bwd_kernel_env() -> bool:
 def _core_bwd(heads, scale, spatial_size, interpret, bwd_kernel, layout,
               residuals, g):
     if bwd_kernel or _bwd_kernel_env():
-        run = (_run_bwd_kernel_merged if layout == "merged"
-               else _run_bwd_kernel)
+        run = _run_bwd_kernel
+        if layout == "merged":
+            # the merged backward is untiled (grid=(b,), whole-N blocks) —
+            # the formulation whose forward twin failed to compile at the
+            # flagship shape (~60 MB VMEM-resident); route big shapes to
+            # the tiled-enough per-head kernel instead (both differentiate
+            # the same math from the same primal residuals)
+            x = residuals[0]
+            hd = residuals[3].shape[0]
+            est = 12 * x.shape[1] * hd * 4            # ~live f32 arrays
+            if est <= 40 * 2 ** 20:
+                run = _run_bwd_kernel_merged
         return run(residuals, g, heads=heads, scale=scale,
                    spatial_size=spatial_size, interpret=interpret)
     x, gamma, w_qkv, w_out, out_bias, ek, ev = residuals

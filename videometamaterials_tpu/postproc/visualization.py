@@ -54,8 +54,11 @@ def load_frame_ranges(frame_ranges: str, ref_frame: str):
     (min_u_1, max_u_1, min_u_2, max_u_2) in the lagrangian frame."""
     fr = np.genfromtxt(frame_ranges, delimiter=",")
     if fr.ndim == 1:
+        # single-row files are used as-is (a trailing delimiter yields a
+        # NaN column; dropping the only row would crash the reductions)
         fr = fr[None, :]
-    fr = fr[~np.isnan(fr).any(axis=1)]
+    else:
+        fr = fr[~np.isnan(fr).any(axis=1)]   # trailing blank lines
     u_ranges = None
     if ref_frame == "lagrangian":
         u_ranges = (fr[:, 0].min(), fr[:, 1].max(),

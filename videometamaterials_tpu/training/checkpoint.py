@@ -66,9 +66,15 @@ def save_checkpoint(results_folder: str | Path, step: int, payload: dict,
     import orbax.checkpoint as ocp
 
     d = _ckpt_dir(results_folder, step)
-    d.mkdir(parents=True, exist_ok=True)
+    primary = jax.process_index() == 0
+    if primary:
+        d.mkdir(parents=True, exist_ok=True)
     host_payload = jax.device_get(payload)
     if backend == "orbax":
+        # EVERY process must reach these calls: AsyncCheckpointer.save and
+        # wait_until_finished run cross-process barriers in a multi-host
+        # runtime (a process-0-only call would deadlock the job); Orbax
+        # itself writes replicated arrays from the primary host only.
         path = d / "orbax"
         host_payload = jax.tree.map(np.asarray, host_payload)
         ckptr = _get_async_checkpointer()
@@ -82,10 +88,11 @@ def save_checkpoint(results_folder: str | Path, step: int, payload: dict,
                    force=True)
     else:
         path = d / "checkpoint.msgpack"
-        path.write_bytes(serialization.to_bytes(host_payload))
-    if aux is not None:
+        if primary:
+            path.write_bytes(serialization.to_bytes(host_payload))
+    if aux is not None and primary:
         (d / "aux.json").write_text(json.dumps(aux))
-    if keep_last is not None:
+    if keep_last is not None and primary:
         prune_checkpoints(results_folder, keep_last)
     return path
 

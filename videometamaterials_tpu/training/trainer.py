@@ -85,13 +85,15 @@ class Trainer:
         if fused_on and not model_cfg.fused_blocks_in_training:
             import dataclasses
 
-            from videometamaterials_tpu.diffusion import GaussianDiffusion
-            from videometamaterials_tpu.models import UNet3D
-            train_mcfg = dataclasses.replace(
-                model_cfg, use_fused_linear_block=False,
+            # Derive the training plan from the PASSED diffusion object
+            # (not a from_config rebuild) so caller customizations beyond
+            # model_cfg — loss_type, schedule, thresholding — train with
+            # the exact objective they configured.
+            train_model = diffusion.model.clone(
+                use_fused_linear_block=False,
                 use_fused_temporal_block=False)
-            self._train_diffusion = GaussianDiffusion.from_config(
-                UNet3D.from_config(train_mcfg), train_mcfg)
+            self._train_diffusion = dataclasses.replace(
+                diffusion, model=train_model)
         self.results_folder = Path(results_folder)
         self.results_folder.mkdir(parents=True, exist_ok=True)
         self.run_name = run_name
@@ -481,9 +483,13 @@ class Trainer:
     # ------------------------------------------------------------ checkpoint
     def save(self, step: Optional[int] = None):
         step = int(self.state.step) if step is None else step
-        if jax.process_count() > 1 and jax.process_index() != 0:
-            # state is fully replicated: process 0 alone writes the files
-            # (concurrent writers on a shared filesystem would race)
+        if (self.tcfg.checkpoint_backend != "orbax"
+                and jax.process_count() > 1 and jax.process_index() != 0):
+            # msgpack: state is fully replicated, process 0 alone writes
+            # (concurrent writers on a shared filesystem would race).
+            # Orbax must NOT be skipped here: its async save/wait calls run
+            # cross-process barriers that every process has to reach —
+            # save_checkpoint gates the actual file writes on process 0.
             return
         payload = jax.device_get({
             "step": self.state.step,
