@@ -83,8 +83,22 @@ def main():
 
     val_loss = trainer.validation_loss()
 
+    # multi-host orbax save: EVERY process must reach the async
+    # checkpointer's cross-process barriers (regression: a process-0-only
+    # save() deadlocked here); file writes still land on process 0 only
+    import dataclasses
+
+    from videometamaterials_tpu.training import checkpoint as ckpt_mod
+    trainer.tcfg = dataclasses.replace(trainer.tcfg,
+                                       checkpoint_backend="orbax")
+    trainer.save(step=77)
+    ckpt_mod.wait_for_saves()
+    multihost_utils.sync_global_devices("orbax-written")
+    orbax_dir = os.path.join(out_dir, "run", "model", "step_77", "orbax")
+
     with open(os.path.join(out_dir, f"out_{pid}.json"), "w") as f:
-        json.dump({"state_digest": state_digest,
+        json.dump({"orbax_exists": os.path.isdir(orbax_dir),
+                   "state_digest": state_digest,
                    "reload_ok": bool(reload_ok),
                    "videos_digest": hashlib.sha256(
                        np.ascontiguousarray(videos).tobytes()).hexdigest(),

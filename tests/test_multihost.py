@@ -91,6 +91,9 @@ def test_two_process_train_ckpt_sample(tmp_path):
     assert res[0]["videos_digest"] == res[1]["videos_digest"]
     assert res[0]["val_loss"] == res[1]["val_loss"]
     assert np.isfinite(res[0]["val_loss"])
+    # the 2-process orbax save completed on both (barrier reached) and
+    # the committed directory is visible to both processes
+    assert res[0]["orbax_exists"] and res[1]["orbax_exists"]
     # exactly one metrics stream (process 0)
     assert res[0]["metrics_exists"]
     lines = (tmp_path / "run" / "metrics.jsonl").read_text().splitlines()
