@@ -64,7 +64,12 @@ def _selector(hidden: int, heads: int, dtype):
 
 
 def _kernel(x_ref, gamma_ref, wall_ref, wout_ref, bias_ref, *refs,
-            f: int, heads: int, d: int, has_cond: bool, t_tok: int):
+            f: int, heads: int, d: int, has_cond: bool, t_tok: int,
+            ablate: str = ""):
+    # `ablate` is a PROBE-ONLY hook (scripts/temporal_phase_probe.py): it
+    # skips one phase ("score" | "softmax" | "expand" | "proj") so chained
+    # timing differences attribute the kernel's cost per phase. Production
+    # paths never set it.
     if has_cond:
         eksel_ref, evexp_ref, out_ref = refs
     else:
@@ -87,12 +92,17 @@ def _kernel(x_ref, gamma_ref, wall_ref, wout_ref, bias_ref, *refs,
     for fi in range(f):
         xf = x_ref[0, fi]                                 # (TS, C)
         xs.append(xf)
-        x32 = xf.astype(jnp.float32)
-        mu = jnp.mean(x32, axis=-1, keepdims=True)
-        var = jnp.mean(jnp.square(x32 - mu), axis=-1, keepdims=True)
-        y = ((x32 - mu) * jax.lax.rsqrt(var + 1e-5)
-             * gamma).astype(jnp.bfloat16)                # (TS, C)
-        qkv = mm(y, wall_ref[fi]).astype(jnp.bfloat16)    # (TS, 3*hidden)
+        if ablate == "proj":
+            # probe: skip LN + QKV matmul; q/k/v from lane-tiled x copies
+            qkv = jnp.concatenate([xf.astype(jnp.bfloat16)]
+                                  * (3 * hidden // xf.shape[1]), axis=1)
+        else:
+            x32 = xf.astype(jnp.float32)
+            mu = jnp.mean(x32, axis=-1, keepdims=True)
+            var = jnp.mean(jnp.square(x32 - mu), axis=-1, keepdims=True)
+            y = ((x32 - mu) * jax.lax.rsqrt(var + 1e-5)
+                 * gamma).astype(jnp.bfloat16)            # (TS, C)
+            qkv = mm(y, wall_ref[fi]).astype(jnp.bfloat16)  # (TS, 3*hidden)
         q.append(qkv[:, :hidden])
         k.append(qkv[:, hidden:2 * hidden])
         v.append(qkv[:, 2 * hidden:])
@@ -114,31 +124,47 @@ def _kernel(x_ref, gamma_ref, wall_ref, wout_ref, bias_ref, *refs,
     for i in range(f):
         q_i = q[i]
         sims = []
-        for j in range(f):
-            prod = q_i * k[j]                             # (TS, hidden) bf16
-            sim = mm(prod, sel)                           # (TS, heads) f32
-            sims.append(sim + bias[i, j].reshape(1, heads))
-        if has_cond:
-            csim = mm(q_i, eksel)                         # (TS, T*heads) f32
-            for ti in range(t_tok):
-                sims.append(csim[:, ti * heads:(ti + 1) * heads]
-                            + bias[i, f + ti].reshape(1, heads))
+        if ablate == "score":
+            # probe: skip q*k products + selector matmuls; constant scores
+            # (v stays live through the expand phase, so the QKV projection
+            # is not dead-code-eliminated)
+            for j in range(f + (t_tok if has_cond else 0)):
+                sims.append(jnp.broadcast_to(bias[i, j].reshape(1, heads),
+                                             (ts, heads)))
+        else:
+            for j in range(f):
+                prod = q_i * k[j]                         # (TS, hidden) bf16
+                sim = mm(prod, sel)                       # (TS, heads) f32
+                sims.append(sim + bias[i, j].reshape(1, heads))
+            if has_cond:
+                csim = mm(q_i, eksel)                     # (TS, T*heads) f32
+                for ti in range(t_tok):
+                    sims.append(csim[:, ti * heads:(ti + 1) * heads]
+                                + bias[i, f + ti].reshape(1, heads))
 
-        m = sims[0]
-        for s_ in sims[1:]:
-            m = jnp.maximum(m, s_)
-        es = [jnp.exp(s_ - m) for s_ in sims]
-        z = es[0]
-        for e_ in es[1:]:
-            z = z + e_
-        inv_z = 1.0 / z
+        if ablate == "softmax":
+            # probe: skip max/exp/normalize; raw (scaled) scores as weights
+            es = [s_ * 1e-3 for s_ in sims]
+            inv_z = jnp.ones((ts, heads), jnp.float32)
+        else:
+            m = sims[0]
+            for s_ in sims[1:]:
+                m = jnp.maximum(m, s_)
+            es = [jnp.exp(s_ - m) for s_ in sims]
+            z = es[0]
+            for e_ in es[1:]:
+                z = z + e_
+            inv_z = 1.0 / z
 
         acc = jnp.zeros((ts, hidden), jnp.float32)
-        for j in range(f):
+        n_exp = 1 if ablate == "expand1" else f
+        for j in range(n_exp):
+            # probe "expand1": only frame 0's expand matmul + fma runs (z
+            # keeps every exp live); full - expand1 ~ 10/11 of this phase
             a = mm((es[j] * inv_z).astype(jnp.bfloat16),
                    expand)                                # (TS, hidden) f32
             acc = acc + a * v[j].astype(jnp.float32)
-        if has_cond:
+        if has_cond and ablate != "expand1":
             pc = jnp.concatenate(
                 [es[f + ti] * inv_z for ti in range(t_tok)],
                 axis=1).astype(jnp.bfloat16)              # (TS, T*heads)
@@ -504,7 +530,7 @@ def _pick_tile(s: int) -> int:
 
 
 def _run_kernel(x, gamma, w_all, w_out, ek, ev, bias_all, *, heads, tile,
-                interpret):
+                interpret, ablate: str = ""):
     b, f, s, c = x.shape
     hidden = w_out.shape[0]
     d = hidden // heads
@@ -518,7 +544,8 @@ def _run_kernel(x, gamma, w_all, w_out, ek, ev, bias_all, *, heads, tile,
 
     grid = (b, s // tile)
     kernel = functools.partial(_kernel, f=f, heads=heads, d=d,
-                               has_cond=has_cond, t_tok=t_tok)
+                               has_cond=has_cond, t_tok=t_tok,
+                               ablate=ablate)
     in_specs = [
         pl.BlockSpec((1, f, tile, c), lambda bi, ti: (bi, 0, ti, 0),
                      memory_space=pltpu.VMEM),
