@@ -47,6 +47,10 @@ def main(argv=None):
     p.add_argument("--load-model-step", type=int, default=None)
     p.add_argument("--num-preds", type=int, default=1)
     p.add_argument("--guidance-scale", type=float, default=5.0)
+    p.add_argument("--cfg-rescale", type=float, default=None,
+                   help="CFG-rescale phi (Lin et al. 2023) for sampling; "
+                        "overrides the config (incl. a frozen resume "
+                        "snapshot). 0 = off = reference parity")
     p.add_argument("--data-root", default="./data")
     p.add_argument("--runs-root", default="./runs")
     p.add_argument("--config", default="model.yaml")
@@ -81,6 +85,9 @@ def main(argv=None):
     else:
         config = load_model_yaml(args.config)
         snapshot_run_config(config, run_dir)
+    if args.cfg_rescale is not None:               # sampling-only knob
+        import dataclasses
+        config = dataclasses.replace(config, cfg_rescale=args.cfg_rescale)
 
     trainer_cfg = TrainerConfig(
         train_num_steps=args.train_num_steps,

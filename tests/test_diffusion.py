@@ -118,6 +118,55 @@ def test_interpolate_latent_mix():
     assert np.isfinite(np.asarray(out)).all()
 
 
+class _CondNullModel:
+    """Denoiser whose conditional and null predictions differ: cond branch
+    returns a structured field, null branch returns a damped one, so CFG
+    extrapolation (w>1) inflates the output std measurably."""
+
+    def apply(self, params, x, t, cond, null_cond_mask=None,
+              focus_present_mask=None):
+        base = (jnp.sin(jnp.arange(x.size, dtype=jnp.float32)) + 1.5
+                ).reshape(x.shape)  # offset: no zeros (ratio test divides)
+        scale = jnp.where(null_cond_mask, 0.25, 1.0)
+        return base * scale.reshape((-1,) + (1,) * (x.ndim - 1))
+
+
+def test_cfg_rescale_off_is_identity_and_on_restores_cond_std():
+    kw = dict(model=_CondNullModel(), image_size=8, num_frames=2,
+              channels=1, timesteps=16)
+    rng = jax.random.PRNGKey(3)
+    x = jax.random.normal(rng, (2, 2, 8, 8, 1))
+    t = jnp.zeros((2,), jnp.int32)
+    cond = jnp.zeros((2, 2))
+
+    base = GaussianDiffusion(**kw).guided_eps(None, x, t, cond, 5.0)
+    off = GaussianDiffusion(**kw, cfg_rescale=0.0).guided_eps(
+        None, x, t, cond, 5.0)
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(off))
+
+    # phi=1: per-sample std equals the conditional prediction's exactly
+    full = GaussianDiffusion(**kw, cfg_rescale=1.0).guided_eps(
+        None, x, t, cond, 5.0)
+    eps_cond = GaussianDiffusion(**kw).guided_eps(None, x, t, cond, 1.0)
+    np.testing.assert_allclose(
+        np.asarray(full).std(axis=(1, 2, 3, 4)),
+        np.asarray(eps_cond).std(axis=(1, 2, 3, 4)), rtol=1e-5)
+    # and the direction is preserved (pure per-sample scaling of eps_cfg)
+    ratio = np.asarray(full) / np.asarray(base)
+    np.testing.assert_allclose(
+        ratio, np.broadcast_to(ratio.mean(axis=(1, 2, 3, 4), keepdims=True),
+                               ratio.shape), rtol=1e-4)
+
+    # phi=0.5 blends: std strictly between eps_cfg's and eps_cond's
+    half = GaussianDiffusion(**kw, cfg_rescale=0.5).guided_eps(
+        None, x, t, cond, 5.0)
+    s_half = np.asarray(half).std(axis=(1, 2, 3, 4))
+    s_base = np.asarray(base).std(axis=(1, 2, 3, 4))
+    s_cond = np.asarray(eps_cond).std(axis=(1, 2, 3, 4))
+    assert ((s_half > np.minimum(s_base, s_cond))
+            & (s_half < np.maximum(s_base, s_cond))).all()
+
+
 def test_reduce_csv_to_first_n_rows(tmp_path):
     from videometamaterials_tpu.postproc.metrics import (
         reduce_csv_to_first_n_rows,

@@ -64,6 +64,11 @@ class ModelConfig:
     sample_scan_chunk: int | None = 64        # sampler scan segment length
                                               # (None = one fused scan)
     dynamic_thres_method: str = "bisect"      # 'bisect' | 'sort' (torch-exact)
+    cfg_rescale: float = 0.0                  # CFG-rescale phi (Lin et al.
+                                              # 2023): per-sample std of the
+                                              # guided eps restored to the
+                                              # conditional's, blended by phi.
+                                              # 0 = off (reference parity)
     use_fused_linear_block: bool | str | int = False  # Pallas fused spatial
                                               # linear-attention block on TPU:
                                               # False | 'level0' | 'all'/True

@@ -61,6 +61,15 @@ class GaussianDiffusion:
     # HBM reads, bit-identical under bf16 compute (utils.py:
     # cast_params_for_inference). Identity when the model computes in fp32.
     bf16_inference_weights: bool = True
+    # TPU-build addition (no reference equivalent): CFG rescale phi of
+    # Lin et al. 2023 ("Common Diffusion Noise Schedules and Sample Steps
+    # are Flawed", §3.4) — after eps_cfg = null + w*(cond - null), rescale
+    # eps_cfg's per-sample std back to eps_cond's and blend:
+    # phi*rescaled + (1-phi)*eps_cfg. Counters the systematic guidance
+    # overshoot of large w (measured on the synthetic quality corpus:
+    # generated stress-strain curves overshoot targets ~1.5x at w=5,
+    # BENCH_NOTES.md). 0.0 = off (exact reference parity).
+    cfg_rescale: float = 0.0
     # Latency mode: a NamedSharding that partitions the HEIGHT axis of the
     # sampled video across a mesh (parallel/mesh.py:spatial_video_sharding).
     # One video's whole denoising chain then runs SPMD across chips —
@@ -158,7 +167,20 @@ class GaussianDiffusion:
             [jnp.zeros((b,), dtype=bool), jnp.ones((b,), dtype=bool)], axis=0)
         eps2 = self.model.apply(params, x2, t2, cond2, null_cond_mask=mask2)
         eps_cond, eps_null = jnp.split(eps2, 2, axis=0)
-        return eps_null + (eps_cond - eps_null) * guidance_scale
+        eps = eps_null + (eps_cond - eps_null) * guidance_scale
+        if self.cfg_rescale > 0.0:
+            # Lin et al. 2023 §3.4 (diffusers' guidance_rescale): restore
+            # the conditional prediction's per-sample std, blend by phi
+            axes = tuple(range(1, eps.ndim))
+            std_cond = jnp.std(eps_cond.astype(jnp.float32), axis=axes,
+                               keepdims=True)
+            std_cfg = jnp.std(eps.astype(jnp.float32), axis=axes,
+                              keepdims=True)
+            rescaled = eps * (std_cond
+                              / jnp.maximum(std_cfg, 1e-8)).astype(eps.dtype)
+            eps = (self.cfg_rescale * rescaled
+                   + (1.0 - self.cfg_rescale) * eps).astype(eps.dtype)
+        return eps
 
     def _maybe_threshold(self, x_recon):
         """Static ('clip to [-1,1]') or dynamic (Imagen) thresholding of the
@@ -444,4 +466,5 @@ class GaussianDiffusion:
             scan_chunk_size=getattr(cfg, "sample_scan_chunk", None),
             bf16_inference_weights=getattr(cfg, "bf16_inference_weights",
                                            True),
+            cfg_rescale=getattr(cfg, "cfg_rescale", 0.0),
         )
