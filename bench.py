@@ -63,10 +63,15 @@ def main():
     # sampling scans ('off' to disable). Bit-identical output either way
     # (tests/test_inference_cast.py); only HBM weight traffic changes.
     bw = os.environ.get("VMT_BENCH_BF16_WEIGHTS", "on") not in ("off", "0")
+    # VMT_BENCH_SHARED_INIT: A/B hook for the shared CFG init stage
+    # ('off' to trace the plain doubled-batch forward). Bit-identical
+    # output either way (tests/test_unet_variants.py).
+    si = os.environ.get("VMT_BENCH_SHARED_INIT", "on") not in ("off", "0")
     cfg = ModelConfig(use_fused_linear_block=fl,
                       use_fused_temporal_block=ft,
                       temporal_s_tile=st,
-                      bf16_inference_weights=bw)
+                      bf16_inference_weights=bw,
+                      cfg_shared_init=si)
     model = UNet3D.from_config(cfg)
     diffusion = GaussianDiffusion.from_config(model, cfg)
 

@@ -34,6 +34,8 @@ def arm_config(name, base):
         return base.replace(use_fused_linear_block=False)
     if name == "ft_level0":
         return base.replace(use_fused_temporal_block="level0")
+    if name == "sharedinit_off":
+        return base.replace(cfg_shared_init=False)
     if name.startswith("stile"):
         return base.replace(use_fused_temporal_block=False,
                             temporal_s_tile=int(name[5:]))
@@ -56,7 +58,7 @@ def main():
     from videometamaterials_tpu.models import UNet3D
     from videometamaterials_tpu.ops import norms
 
-    base = ModelConfig(use_fused_linear_block="level0",
+    base = ModelConfig(use_fused_linear_block="all",
                        use_fused_temporal_block="all")
     names = args.arms.split(",")
     arms = {}

@@ -17,7 +17,7 @@ class _IdentityModel:
     """Stand-in denoiser: predicts zeros (so x_recon == scaled x_t)."""
 
     def apply(self, params, x, t, cond, null_cond_mask=None,
-              focus_present_mask=None):
+              focus_present_mask=None, cfg_tiled_pair=False):
         return jnp.zeros_like(x)
 
 
@@ -124,7 +124,7 @@ class _CondNullModel:
     extrapolation (w>1) inflates the output std measurably."""
 
     def apply(self, params, x, t, cond, null_cond_mask=None,
-              focus_present_mask=None):
+              focus_present_mask=None, cfg_tiled_pair=False):
         base = (jnp.sin(jnp.arange(x.size, dtype=jnp.float32)) + 1.5
                 ).reshape(x.shape)  # offset: no zeros (ratio test divides)
         scale = jnp.where(null_cond_mask, 0.25, 1.0)
@@ -175,3 +175,24 @@ def test_reduce_csv_to_first_n_rows(tmp_path):
     p.write_text("a\nb\nc\nd\n")
     reduce_csv_to_first_n_rows(str(p), 2)
     assert p.read_text() == "a\nb\n"
+
+
+def test_guided_eps_shared_init_matches_plain():
+    """cfg_shared_init runs the cond-independent init stage once per CFG
+    pair inside the UNet; guided_eps output must be bit-identical."""
+    from videometamaterials_tpu.models import UNet3D
+    model = UNet3D(dim=8, dim_mults=(1, 2), channels=3, attn_heads=2,
+                   attn_dim_head=4, per_frame_cond=True,
+                   use_temporal_attention_cond=True, compute_dtype="float32")
+    rng = jax.random.PRNGKey(7)
+    x = jax.random.normal(rng, (2, 3, 8, 8, 3))
+    t = jnp.full((2,), 4, jnp.int32)
+    cond = jax.random.normal(rng, (2, 3))
+    params = model.init(rng, x, t, cond)
+    kw = dict(model=model, image_size=8, num_frames=3, channels=3,
+              timesteps=16)
+    on = GaussianDiffusion(**kw, cfg_shared_init=True).guided_eps(
+        params, x, t, cond, 5.0)
+    off = GaussianDiffusion(**kw, cfg_shared_init=False).guided_eps(
+        params, x, t, cond, 5.0)
+    np.testing.assert_array_equal(np.asarray(on), np.asarray(off))

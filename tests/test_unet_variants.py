@@ -98,3 +98,46 @@ def test_null_cond_mask_changes_output():
     import numpy as np
     assert not np.allclose(out_c[0], out_n[0])      # nulled sample changed
     np.testing.assert_allclose(out_c[1], out_n[1], rtol=1e-5, atol=1e-5)
+
+
+def test_cfg_tiled_pair_matches_plain_forward():
+    """cfg_tiled_pair takes the UNTILED latent, computes the
+    cond-independent init stage once, and tiles; output must be
+    bit-identical to the plain doubled forward (same per-sample math,
+    vddp.py:742-743 take no conditioning)."""
+    import numpy as np
+    model = UNet3D(dim=8, dim_mults=(1, 2), channels=3, attn_heads=2,
+                   attn_dim_head=4, per_frame_cond=True,
+                   use_temporal_attention_cond=True, compute_dtype="float32")
+    rng = jax.random.PRNGKey(3)
+    x = jax.random.normal(rng, (2, F, IMG, IMG, 3))
+    t = jnp.full((2,), 5, jnp.int32)
+    cond = jax.random.normal(rng, (2, F))
+    params = model.init(rng, x, t, cond)
+    x2 = jnp.concatenate([x, x], axis=0)
+    t2 = jnp.concatenate([t, t], axis=0)
+    cond2 = jnp.concatenate([cond, cond], axis=0)
+    mask2 = jnp.array([False, False, True, True])
+    plain = model.apply(params, x2, t2, cond2, null_cond_mask=mask2)
+    shared = model.apply(params, x, t2, cond2, null_cond_mask=mask2,
+                         cfg_tiled_pair=True)
+    np.testing.assert_array_equal(np.asarray(plain), np.asarray(shared))
+
+
+def test_cfg_tiled_pair_rejects_bad_inputs():
+    model = UNet3D(dim=8, dim_mults=(1, 2), channels=3, attn_heads=2,
+                   attn_dim_head=4, per_frame_cond=True, compute_dtype="float32")
+    rng = jax.random.PRNGKey(0)
+    x = jnp.ones((2, F, IMG, IMG, 3))
+    t = jnp.zeros((2,), jnp.int32)
+    cond = jnp.zeros((2, F))
+    params = model.init(rng, x, t, cond)
+    t4 = jnp.zeros((4,), jnp.int32)
+    cond4 = jnp.zeros((4, F))
+    with pytest.raises(ValueError):
+        # time not folded to 2x the x batch
+        model.apply(params, x, t, cond, cfg_tiled_pair=True)
+    with pytest.raises(ValueError):
+        model.apply(params, x, t4, cond4, cfg_tiled_pair=True,
+                    null_cond_mask=jnp.array([False, False, True, True]),
+                    focus_present_mask=jnp.array([True, False]))

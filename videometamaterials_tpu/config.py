@@ -69,6 +69,10 @@ class ModelConfig:
                                               # guided eps restored to the
                                               # conditional's, blended by phi.
                                               # 0 = off (reference parity)
+    cfg_shared_init: bool = True              # run the cond-independent init
+                                              # conv + init temporal attn once
+                                              # per CFG pair (bit-identical;
+                                              # see diffusion/gaussian.py)
     use_fused_linear_block: bool | str | int = False  # Pallas fused spatial
                                               # linear-attention block on TPU:
                                               # False | 'level0' | 'all'/True

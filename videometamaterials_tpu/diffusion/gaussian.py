@@ -70,6 +70,14 @@ class GaussianDiffusion:
     # generated stress-strain curves overshoot targets ~1.5x at w=5,
     # BENCH_NOTES.md). 0.0 = off (exact reference parity).
     cfg_rescale: float = 0.0
+    # Share the conditioning-independent init stage (init conv + init
+    # temporal attention, vddp.py:742-743) across the two identical halves
+    # of the CFG-folded batch: guided_eps tiles [x; x], so the init stage
+    # runs at batch b and is re-tiled inside the UNet. Exact same math per
+    # sample — bit-identical outputs — at ~half the init-stage cost (the
+    # init temporal attention is one of the three full-resolution temporal
+    # blocks). Off = trace the plain 2b forward.
+    cfg_shared_init: bool = True
     # Latency mode: a NamedSharding that partitions the HEIGHT axis of the
     # sampled video across a mesh (parallel/mesh.py:spatial_video_sharding).
     # One video's whole denoising chain then runs SPMD across chips —
@@ -160,12 +168,20 @@ class GaussianDiffusion:
             return self.model.apply(
                 params, x, t, cond,
                 null_cond_mask=jnp.zeros((b,), dtype=bool))
-        x2 = jnp.concatenate([x, x], axis=0)
         t2 = jnp.concatenate([t, t], axis=0)
         cond2 = jnp.concatenate([cond, cond], axis=0)
         mask2 = jnp.concatenate(
             [jnp.zeros((b,), dtype=bool), jnp.ones((b,), dtype=bool)], axis=0)
-        eps2 = self.model.apply(params, x2, t2, cond2, null_cond_mask=mask2)
+        if self.cfg_shared_init:
+            # the UNet tiles x to 2b itself, AFTER its cond-independent
+            # init stage (computed once per unique latent; see unet3d.py)
+            eps2 = self.model.apply(params, x, t2, cond2,
+                                    null_cond_mask=mask2,
+                                    cfg_tiled_pair=True)
+        else:
+            x2 = jnp.concatenate([x, x], axis=0)
+            eps2 = self.model.apply(params, x2, t2, cond2,
+                                    null_cond_mask=mask2)
         eps_cond, eps_null = jnp.split(eps2, 2, axis=0)
         eps = eps_null + (eps_cond - eps_null) * guidance_scale
         if self.cfg_rescale > 0.0:
@@ -467,4 +483,5 @@ class GaussianDiffusion:
             bf16_inference_weights=getattr(cfg, "bf16_inference_weights",
                                            True),
             cfg_rescale=getattr(cfg, "cfg_rescale", 0.0),
+            cfg_shared_init=getattr(cfg, "cfg_shared_init", True),
         )

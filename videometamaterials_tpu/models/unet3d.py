@@ -928,15 +928,35 @@ class UNet3D(nn.Module):
 
     @nn.compact
     def __call__(self, x, time, cond=None, null_cond_mask=None,
-                 focus_present_mask=None):
+                 focus_present_mask=None, cfg_tiled_pair=False):
         """x: (b, f, h, w, channels) in [-1, 1]; time: (b,) int/float;
         cond: (b, 11) per-frame stresses (or (b, 51) whole-signal mode);
         null_cond_mask: (b,) bool — True replaces conditioning with the
         learned null embeddings (classifier-free guidance dropout);
         focus_present_mask: (b,) bool or None.
 
-        Returns predicted noise, (b, f, h, w, out_dim), float32."""
+        cfg_tiled_pair: the caller (diffusion.guided_eps) passes the
+        UNTILED latent x at batch b while time/cond/null_cond_mask arrive
+        CFG-folded at batch 2b ([cond-half; null-half]). The init conv and
+        init temporal attention take no conditioning (vddp.py:742-743 pass
+        neither cond nor t), so they run once on the unique latent and the
+        result is tiled to 2b — the halves first diverge at the cond/time
+        embeddings below. Tiling AFTER the init stage (instead of slicing
+        a pre-tiled batch) keeps a batch-sharded x busy on every device.
+
+        Returns predicted noise, (b, f, h, w, out_dim), float32 — where b
+        is 2x the x batch under cfg_tiled_pair."""
         b, f, h, w, _ = x.shape
+        if cfg_tiled_pair:
+            if time.shape[0] != 2 * b:
+                raise ValueError(
+                    "cfg_tiled_pair expects untiled x with time/cond "
+                    f"folded to 2x its batch; got x batch {b}, "
+                    f"time batch {time.shape[0]}")
+            if focus_present_mask is not None:
+                raise ValueError(
+                    "cfg_tiled_pair assumes sampling (no focus mask)")
+            b = 2 * b
         dtype = self._dtype
         cdt = self._cond_attention
         time_dim = self._time_dim
@@ -958,6 +978,8 @@ class UNet3D(nn.Module):
 
         x = self._temporal_attn(init_dim, "init_temporal_attn")(
             x, pos_bias=pos_bias, focus_present_mask=focus_present_mask)
+        if cfg_tiled_pair:
+            x = jnp.concatenate([x, x], axis=0)
         r = x
 
         # time embedding (vddp.py:637-642); exact (erf) GELU like torch
