@@ -125,6 +125,10 @@ class _CondNullModel:
 
     def apply(self, params, x, t, cond, null_cond_mask=None,
               focus_present_mask=None, cfg_tiled_pair=False):
+        if cfg_tiled_pair:
+            # mirror UNet3D's shared-init contract: x arrives un-doubled
+            # and the model tiles it to match the 2b cond/mask batch
+            x = jnp.concatenate([x, x], axis=0)
         base = (jnp.sin(jnp.arange(x.size, dtype=jnp.float32)) + 1.5
                 ).reshape(x.shape)  # offset: no zeros (ratio test divides)
         scale = jnp.where(null_cond_mask, 0.25, 1.0)
