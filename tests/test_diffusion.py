@@ -171,6 +171,25 @@ def test_cfg_rescale_off_is_identity_and_on_restores_cond_std():
             & (s_half < np.maximum(s_base, s_cond))).all()
 
 
+def test_sampler_cfg_rescale_through_jitted_scan():
+    """cfg_rescale must survive the full jitted scan sampler (not just the
+    directly-called guided_eps): phi=0 is bit-identical to the default, a
+    nonzero phi changes the output and stays finite."""
+    kw = dict(model=_CondNullModel(), image_size=8, num_frames=2,
+              channels=1, timesteps=6)
+    rng = jax.random.PRNGKey(0)
+    cond = jnp.zeros((2, 2))
+    base = GaussianDiffusion(**kw).sample(
+        None, rng, cond, guidance_scale=5.0)
+    off = GaussianDiffusion(**kw, cfg_rescale=0.0).sample(
+        None, rng, cond, guidance_scale=5.0)
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(off))
+    on = GaussianDiffusion(**kw, cfg_rescale=0.7).sample(
+        None, rng, cond, guidance_scale=5.0)
+    assert np.isfinite(np.asarray(on)).all()
+    assert not np.array_equal(np.asarray(on), np.asarray(base))
+
+
 def test_reduce_csv_to_first_n_rows(tmp_path):
     from videometamaterials_tpu.postproc.metrics import (
         reduce_csv_to_first_n_rows,
