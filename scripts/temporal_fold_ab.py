@@ -8,14 +8,18 @@ the relay's fast/slow phases make separate-process A/Bs unreliable.
 Arm switch: `Attention` imports `fused_temporal_block` from the kernel
 module at trace time, so patching the module attribute around each arm's
 chain_timer (which re-traces) selects the kernel version. The pre-fold
-version is a verbatim snapshot of the kernel module at commit 9de9add
-(scripts/_prefold_temporal_kernel.py).
+version is materialized FROM GIT HISTORY at runtime (the kernel module as
+of commit 9de9add, the last pre-fold state) — no frozen source copy lives
+in the tree.
 """
 
 import argparse
+import importlib.util
 import json
 import os
+import subprocess
 import sys
+import tempfile
 import time
 
 import jax
@@ -24,9 +28,26 @@ import jax.numpy as jnp
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 sys.path.insert(0, "/root/repo")
-sys.path.insert(0, "/root/repo/scripts")
 
-import _prefold_temporal_kernel as prefold  # noqa: E402
+
+def _load_prefold_kernel():
+    """Import the pre-fold kernel module straight out of git history."""
+    src = subprocess.run(
+        ["git", "-C", "/root/repo", "show",
+         "9de9add:videometamaterials_tpu/ops/pallas/fused_temporal_block.py"],
+        check=True, capture_output=True, text=True).stdout
+    f = tempfile.NamedTemporaryFile("w", suffix="_prefold_kernel.py",
+                                    delete=False)
+    f.write(src)
+    f.close()
+    spec = importlib.util.spec_from_file_location("prefold_temporal_kernel",
+                                                  f.name)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+prefold = _load_prefold_kernel()
 import videometamaterials_tpu.ops.pallas.fused_temporal_block as ftb  # noqa: E402
 from videometamaterials_tpu.models.unet3d import (  # noqa: E402
     TemporalAttentionBlock,

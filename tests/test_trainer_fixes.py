@@ -187,21 +187,28 @@ def test_overlapping_orbax_saves(tmp_path):
                                    np.arange(4.0) + step)
 
 
-def test_is_traced():
-    from videometamaterials_tpu.utils import is_traced
+def test_sample_inside_jit_matches_host_chunked():
+    """A chunk-configured sampler traced under an outer jit (inside_jit=True)
+    must fuse into one scan and match the host-driven chunked execution —
+    the explicit-flag replacement for the old tracer-probing dispatch."""
+    from videometamaterials_tpu.diffusion.gaussian import GaussianDiffusion
 
-    assert not is_traced(np.zeros(3))
-    assert not is_traced(jnp.zeros(3))
-    assert not is_traced(1.0)
-    seen = []
+    def eps_fn(params, x, t, cond, **kw):
+        return 0.1 * x
 
-    @jax.jit
-    def f(x):
-        seen.append(is_traced(x))
-        return x
+    class M:
+        apply = staticmethod(eps_fn)
 
-    f(jnp.zeros(3))
-    assert seen == [True]
+    d = GaussianDiffusion(model=M(), image_size=8, num_frames=2, channels=1,
+                          timesteps=6, scan_chunk_size=4,
+                          use_dynamic_thres=False)
+    rng = jax.random.PRNGKey(0)
+    cond = jnp.zeros((2, 2))
+    host = np.asarray(d.sample(None, rng, cond, guidance_scale=1.0))
+    fused = np.asarray(jax.jit(
+        lambda p, r, c: d.sample(p, r, c, guidance_scale=1.0,
+                                 inside_jit=True))(None, rng, cond))
+    np.testing.assert_allclose(host, fused, rtol=1e-5, atol=1e-5)
 
 
 def test_fused_config_trains_on_xla_plan(data_dirs, monkeypatch):

@@ -27,7 +27,7 @@ from videometamaterials_tpu.ops.schedules import (
     extract,
     make_schedule,
 )
-from videometamaterials_tpu.utils import cast_params_for_inference, is_traced
+from videometamaterials_tpu.utils import cast_params_for_inference
 
 
 def normalize_img(x):
@@ -105,15 +105,16 @@ class GaussianDiffusion:
                 "GSPMD cannot spatially partition (build the model with "
                 "use_fused_*_block=False for latency-mode sampling)")
 
-    def _constrain_spatial(self, img):
+    def _constrain_spatial(self, img, inside_jit: bool = True):
         """Pin the scan carry to the latency-mode height sharding (no-op
         when unset). Re-asserted every step so GSPMD keeps the partitioned
         layout through the whole chain instead of drifting to replicated.
-        Under a trace this is a sharding constraint; on the concrete init
-        array of the host-driven chunked path it is a device_put."""
+        Under a trace (`inside_jit`, the default — scan bodies are always
+        traced) this is a sharding constraint; on the concrete init array of
+        the host-driven chunked path it is a device_put."""
         if self.sample_spatial_sharding is None:
             return img
-        if is_traced(img):
+        if inside_jit:
             return jax.lax.with_sharding_constraint(
                 img, self.sample_spatial_sharding)
         return jax.device_put(img, self.sample_spatial_sharding)
@@ -278,18 +279,19 @@ class GaussianDiffusion:
         (img, rng), _ = jax.lax.scan(step, (img, rng), ts)
         return img, rng
 
-    def p_sample_loop(self, params, rng, shape, cond, guidance_scale):
+    def p_sample_loop(self, params, rng, shape, cond, guidance_scale,
+                      inside_jit: bool = False):
         """Full T-step ancestral chain (vddp.py:965-975): one lax.scan, or —
         with scan_chunk_size — host-driven segments of a single compiled
-        chunk program."""
+        chunk program. Callers that trace this function under an outer jit
+        must pass inside_jit=True (host-driven chunking is impossible under
+        a trace; the whole chain fuses into the caller's program)."""
         rng, init_rng = jax.random.split(rng)
         img = self._constrain_spatial(
-            jax.random.normal(init_rng, shape, jnp.float32))
+            jax.random.normal(init_rng, shape, jnp.float32), inside_jit)
         ts = jnp.arange(self.timesteps - 1, -1, -1)
 
-        # inside an outer jit trace, host-driven chunking is impossible (and
-        # the caller explicitly asked for one program) -> fused scan
-        if not self.scan_chunk_size or is_traced(img):
+        if not self.scan_chunk_size or inside_jit:
             img, _ = self._ddpm_scan(params, img, rng, ts, cond,
                                      guidance_scale)
             return unnormalize_img(img)
@@ -342,9 +344,10 @@ class GaussianDiffusion:
         (img, rng), _ = jax.lax.scan(step, (img, rng), pairs)
         return img, rng
 
-    def ddim_sample(self, params, rng, shape, cond, guidance_scale):
+    def ddim_sample(self, params, rng, shape, cond, guidance_scale,
+                    inside_jit: bool = False):
         """DDIM sampler (vddp.py:986-1018), eta-noise optional; chunked like
-        p_sample_loop when scan_chunk_size is set."""
+        p_sample_loop when scan_chunk_size is set (see its inside_jit doc)."""
         total, steps = self.timesteps, self.sampling_timesteps
         times = np.linspace(-1, total - 1, num=steps + 1).astype(np.int64)
         times = list(reversed(times.tolist()))
@@ -352,9 +355,9 @@ class GaussianDiffusion:
 
         rng, init_rng = jax.random.split(rng)
         img = self._constrain_spatial(
-            jax.random.normal(init_rng, shape, jnp.float32))
+            jax.random.normal(init_rng, shape, jnp.float32), inside_jit)
 
-        if not self.scan_chunk_size or is_traced(img):
+        if not self.scan_chunk_size or inside_jit:
             img, _ = self._ddim_scan(params, img, rng, jnp.asarray(pairs),
                                      cond, guidance_scale)
             return unnormalize_img(img)
@@ -377,13 +380,16 @@ class GaussianDiffusion:
         return unnormalize_img(img)
 
     def sample(self, params, rng, cond, guidance_scale: float = 1.0,
-               batch_size: int = 16):
+               batch_size: int = 16, inside_jit: bool = False):
         """Dispatch DDPM vs DDIM by sampling_timesteps (vddp.py:977-984).
-        Returns videos in [0, 1], shape (b, F, H, W, C)."""
+        Returns videos in [0, 1], shape (b, F, H, W, C). Pass inside_jit=True
+        when tracing this call under an outer jit with scan_chunk_size set —
+        the chain then runs as one fused scan instead of host-driven chunks."""
         b = cond.shape[0] if cond is not None else batch_size
         shape = self._video_shape(b)
         fn = self.ddim_sample if self.is_ddim_sampling else self.p_sample_loop
-        return fn(params, rng, shape, cond, guidance_scale)
+        return fn(params, rng, shape, cond, guidance_scale,
+                  inside_jit=inside_jit)
 
     def interpolate(self, params, rng, x1, x2, t: Optional[int] = None,
                     lam: float = 0.5, guidance_scale: float = 1.0,

@@ -454,7 +454,7 @@ class Trainer:
         if key not in self._sample_fns:
             fn = jax.jit(
                 lambda p, r, c: self.diffusion.sample(
-                    p, r, c, guidance_scale=guidance_scale),
+                    p, r, c, guidance_scale=guidance_scale, inside_jit=True),
                 in_shardings=(self._repl, None, self._bsh),
             )
             self._sample_fns[key] = fn

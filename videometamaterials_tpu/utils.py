@@ -4,7 +4,6 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 
 def count_parameters(params) -> int:
@@ -59,25 +58,3 @@ def cast_params_for_inference(params, dtype=jnp.bfloat16):
     return jax.tree_util.tree_map_with_path(leaf, params)
 
 
-_TRACER_TYPES: tuple = ()
-try:                                   # jax.core has been churning; keep the
-    _TRACER_TYPES = (jax.core.Tracer,)  # fast path but survive its removal
-except AttributeError:
-    pass
-
-
-def is_traced(x) -> bool:
-    """True iff `x` is an abstract tracer (i.e. we are under a jit/vmap/scan
-    trace). Used to dispatch host-driven control flow (e.g. chunked sampler
-    segments) only when values are concrete."""
-    if _TRACER_TYPES:
-        return isinstance(x, _TRACER_TYPES)
-    if isinstance(x, np.ndarray) or not isinstance(x, jax.Array):
-        return False
-    try:
-        # concrete jax Arrays expose shard data; tracers raise
-        # ConcretizationTypeError on any data-dependent attribute
-        _ = x.addressable_shards
-        return False
-    except Exception:
-        return True
