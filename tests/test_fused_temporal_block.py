@@ -51,6 +51,37 @@ def test_kernel_matches_xla_reference(n_cond):
     assert not np.allclose(got, np.asarray(args[0], np.float32))
 
 
+@pytest.mark.parametrize("n_cond", [0, F])
+def test_merged_softmax_layout_bit_equals_split(n_cond):
+    """The full-lane softmax layout performs the SAME floating ops in the
+    same per-element order as the split layout (only the lane packing
+    differs), so interpret-mode outputs must be bit-identical."""
+    args = _inputs(n_cond)
+    split = np.asarray(fused_temporal_block(
+        *args, heads=HEADS, tile=128, interpret=True,
+        softmax_layout="split"), np.float32)
+    merged = np.asarray(fused_temporal_block(
+        *args, heads=HEADS, tile=128, interpret=True,
+        softmax_layout="merged"), np.float32)
+    np.testing.assert_array_equal(split, merged)
+
+
+@pytest.mark.parametrize("n_cond", [0, F])
+def test_merged_softmax_grads_match_split(n_cond):
+    """Both layouts share the XLA-reference custom VJP; grads must agree."""
+    args = _inputs(n_cond)
+
+    def loss(layout):
+        def f(x):
+            rest = args[1:]
+            return jnp.sum(fused_temporal_block(
+                x, *rest, heads=HEADS, tile=128, interpret=True,
+                softmax_layout=layout).astype(jnp.float32) ** 2)
+        return np.asarray(jax.grad(f)(args[0]), np.float32)
+
+    np.testing.assert_array_equal(loss("split"), loss("merged"))
+
+
 def test_single_tile_matches_multi_tile():
     args = _inputs(F)
     a = np.asarray(fused_temporal_block(*args, heads=HEADS, tile=256,

@@ -63,9 +63,15 @@ def _selector(hidden: int, heads: int, dtype):
     return (row // d == col).astype(dtype)
 
 
+# Module default for the softmax lane layout inside the forward kernel
+# ("split" | "merged"); probes patch this between arms, bench/env override
+# via VMT_TEMPORAL_SOFTMAX. See _kernel for the layouts.
+DEFAULT_SOFTMAX_LAYOUT = "split"
+
+
 def _kernel(x_ref, gamma_ref, wall_ref, wout_ref, bias_ref, *refs,
             f: int, heads: int, d: int, has_cond: bool, t_tok: int,
-            ablate: str = ""):
+            ablate: str = "", softmax_layout: str = "split"):
     # `ablate` is a PROBE-ONLY hook (scripts/temporal_phase_probe.py): it
     # skips one phase ("score" | "softmax" | "expand" | "proj") so chained
     # timing differences attribute the kernel's cost per phase. Production
@@ -123,6 +129,42 @@ def _kernel(x_ref, gamma_ref, wall_ref, wout_ref, bias_ref, *refs,
     # ---- per query frame: scores -> softmax -> values -> out-proj
     for i in range(f):
         q_i = q[i]
+
+        if softmax_layout == "merged" and not ablate:
+            # Round-4 full-lane softmax (the round-3 phase probe's finding:
+            # the split layout runs 22 exps/normalizes on separate
+            # (TS, heads=8) arrays — 8 of 128 lanes busy, the round-2
+            # lane-padding trap inside the shipping kernel). Concatenate the
+            # per-key-group scores to ONE (TS, groups*heads) array so bias
+            # add, exp, and the 1/z normalize each run once at full lane
+            # width. Op ORDER per element is identical to the split path
+            # (same ascending-j max/sum folds), so outputs are bit-equal.
+            groups = f + (t_tok if has_cond else 0)
+            sims_nb = [mm(q_i * k[j], sel) for j in range(f)]
+            if has_cond:
+                sims_nb.append(mm(q_i, eksel))        # (TS, T*heads) merged
+            sim_all = (jnp.concatenate(sims_nb, axis=1)
+                       + bias[i].reshape(1, groups * heads))
+            m = sim_all[:, :heads]
+            for jg in range(1, groups):
+                m = jnp.maximum(m, sim_all[:, jg * heads:(jg + 1) * heads])
+            e_all = jnp.exp(sim_all - jnp.tile(m, (1, groups)))  # ONE exp
+            z = e_all[:, :heads]
+            for jg in range(1, groups):
+                z = z + e_all[:, jg * heads:(jg + 1) * heads]
+            p_all = (e_all * jnp.tile(1.0 / z, (1, groups))
+                     ).astype(jnp.bfloat16)           # ONE normalize + cast
+            acc = jnp.zeros((ts, hidden), jnp.float32)
+            for j in range(f):
+                a = mm(p_all[:, j * heads:(j + 1) * heads], expand)
+                acc = acc + a * v[j].astype(jnp.float32)
+            if has_cond:
+                acc = acc + mm(p_all[:, f * heads:], evexp)
+            out_f = mm(acc.astype(jnp.bfloat16), w_out_mat)
+            out_ref[0, i] = (xs[i].astype(jnp.float32)
+                             + out_f).astype(out_ref.dtype)
+            continue
+
         sims = []
         if ablate == "score":
             # probe: skip q*k products + selector matmuls; constant scores
@@ -397,17 +439,20 @@ def reference_temporal_block(x, gamma, w_all, w_out, ek, ev, bias_all, *,
     return x + out.astype(x.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11))
 def fused_temporal_block_core(x, gamma, w_all, w_out, ek, ev, bias_all,
-                              heads, tile, interpret, bwd_kernel):
+                              heads, tile, interpret, bwd_kernel,
+                              softmax_layout):
     return _run_kernel(x, gamma, w_all, w_out, ek, ev, bias_all,
-                       heads=heads, tile=tile, interpret=interpret)
+                       heads=heads, tile=tile, interpret=interpret,
+                       softmax_layout=softmax_layout)
 
 
 def _core_fwd(x, gamma, w_all, w_out, ek, ev, bias_all, heads, tile,
-              interpret, bwd_kernel):
+              interpret, bwd_kernel, softmax_layout):
     out = _run_kernel(x, gamma, w_all, w_out, ek, ev, bias_all,
-                      heads=heads, tile=tile, interpret=interpret)
+                      heads=heads, tile=tile, interpret=interpret,
+                      softmax_layout=softmax_layout)
     return out, (x, gamma, w_all, w_out, ek, ev, bias_all)
 
 
@@ -416,7 +461,8 @@ def _bwd_kernel_env() -> bool:
     return os.environ.get("VMT_TEMPORAL_BWD_KERNEL", "") == "1"
 
 
-def _core_bwd(heads, tile, interpret, bwd_kernel, residuals, g):
+def _core_bwd(heads, tile, interpret, bwd_kernel, softmax_layout,
+              residuals, g):
     if bwd_kernel or _bwd_kernel_env():
         return _run_bwd_kernel(residuals, g, heads=heads, tile=tile,
                                interpret=interpret)
@@ -530,7 +576,7 @@ def _pick_tile(s: int) -> int:
 
 
 def _run_kernel(x, gamma, w_all, w_out, ek, ev, bias_all, *, heads, tile,
-                interpret, ablate: str = ""):
+                interpret, ablate: str = "", softmax_layout: str = "split"):
     b, f, s, c = x.shape
     hidden = w_out.shape[0]
     d = hidden // heads
@@ -545,7 +591,7 @@ def _run_kernel(x, gamma, w_all, w_out, ek, ev, bias_all, *, heads, tile,
     grid = (b, s // tile)
     kernel = functools.partial(_kernel, f=f, heads=heads, d=d,
                                has_cond=has_cond, t_tok=t_tok,
-                               ablate=ablate)
+                               ablate=ablate, softmax_layout=softmax_layout)
     in_specs = [
         pl.BlockSpec((1, f, tile, c), lambda bi, ti: (bi, 0, ti, 0),
                      memory_space=pltpu.VMEM),
@@ -603,17 +649,25 @@ def _run_kernel(x, gamma, w_all, w_out, ek, ev, bias_all, *, heads, tile,
 def fused_temporal_block(x, gamma, w_all, w_out, ek, ev, bias_all, *,
                          heads: int, tile: int | None = None,
                          interpret: bool | None = None,
-                         bwd_kernel: bool = False):
+                         bwd_kernel: bool = False,
+                         softmax_layout: str | None = None):
     """x: (B, F, S, C); gamma (C,); w_all (F, C, 3*hidden) rotary+scale
     folded; w_out (hidden, C); ek/ev (B, T, hidden) conditioning K/V
     (rotary already applied to ek), or None; bias_all (F, F+T, heads) with
     the cond columns zeroed when the reference adds no cond bias.
     Returns x + block(x); differentiable. bwd_kernel=True (or env
     VMT_TEMPORAL_BWD_KERNEL=1) uses the whole-block backward kernel in
-    place of the XLA-reference vjp."""
+    place of the XLA-reference vjp. softmax_layout 'merged' runs bias/exp/
+    normalize on one full-lane (TS, groups*heads) array (bit-equal op
+    order); None resolves env VMT_TEMPORAL_SOFTMAX, then the module
+    default DEFAULT_SOFTMAX_LAYOUT."""
+    import os
     if interpret is None:
-        import os
         interpret = os.environ.get("VMT_PALLAS_INTERPRET", "") == "1"
+    if softmax_layout is None:
+        softmax_layout = os.environ.get("VMT_TEMPORAL_SOFTMAX",
+                                        DEFAULT_SOFTMAX_LAYOUT)
+    assert softmax_layout in ("split", "merged"), softmax_layout
     return fused_temporal_block_core(x, gamma, w_all, w_out, ek, ev,
                                      bias_all, heads, tile, interpret,
-                                     bwd_kernel)
+                                     bwd_kernel, softmax_layout)
