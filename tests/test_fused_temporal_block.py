@@ -278,12 +278,57 @@ def test_backward_kernel_matches_xla_vjp(n_cond, monkeypatch):
         assert np.abs(a32).max() > 0, name
 
 
-def test_module_fused_grads_match_unfused(monkeypatch):
+@pytest.mark.parametrize("n_cond", [0, F])
+def test_savedp_vjp_matches_xla_vjp(n_cond):
+    """vjp_mode='saved' emits the softmax weights from the forward kernel
+    and backs them through the hand-written XLA backward — no sim/softmax
+    recompute. Forward must be BIT-equal to the merged-layout kernel;
+    every cotangent must agree with the XLA-reference vjp to bf16 scale
+    (the jacobian consumes the bf16-rounded p)."""
+    x, gamma, w_all, w_out, ek, ev, bias_all = _inputs(n_cond)
+    args = (x, gamma, w_all, w_out, ek, ev, bias_all)
+
+    f_merged = np.asarray(fused_temporal_block(
+        *args, heads=HEADS, tile=128, interpret=True,
+        softmax_layout="merged"), np.float32)
+    f_saved = np.asarray(fused_temporal_block(
+        *args, heads=HEADS, tile=128, interpret=True,
+        vjp_mode="saved"), np.float32)
+    np.testing.assert_array_equal(f_merged, f_saved)
+
+    argnums = tuple(range(7)) if n_cond else (0, 1, 2, 3, 6)
+
+    def grads(mode):
+        def loss(x_, gamma_, w_all_, w_out_, ek_, ev_, b_):
+            out = fused_temporal_block(x_, gamma_, w_all_, w_out_, ek_, ev_,
+                                       b_, heads=HEADS, tile=128,
+                                       interpret=True, vjp_mode=mode)
+            return jnp.sum(out.astype(jnp.float32) ** 2)
+        return jax.grad(loss, argnums=argnums)(*args)
+
+    ref = grads("recompute")
+    got = grads("saved")
+    names = [("x", "gamma", "w_all", "w_out", "ek", "ev", "bias_all")[i]
+             for i in argnums]
+    for name, a, b_ in zip(names, got, ref):
+        a32, b32 = np.asarray(a, np.float32), np.asarray(b_, np.float32)
+        scale = max(np.abs(b32).max(), 1e-3)
+        np.testing.assert_allclose(a32 / scale, b32 / scale,
+                                   rtol=0, atol=5e-2, err_msg=name)
+        assert np.abs(a32).max() > 0, name
+
+
+@pytest.mark.parametrize("bwd_plan", ["kernel", "saved"])
+def test_module_fused_grads_match_unfused(bwd_plan, monkeypatch):
     """Module-level: grads (params, x, pos_bias) through the fused block —
-    with the backward kernel on — match the temporal_xla plan. Covers the
-    bias_all construction (.at[].set of pos_bias) and rotary-fold paths."""
+    with the backward kernel / the saved-p backward on — match the
+    temporal_xla plan. Covers the bias_all construction (.at[].set of
+    pos_bias) and rotary-fold paths."""
     monkeypatch.setenv("VMT_PALLAS_INTERPRET", "1")
-    monkeypatch.setenv("VMT_TEMPORAL_BWD_KERNEL", "1")
+    if bwd_plan == "kernel":
+        monkeypatch.setenv("VMT_TEMPORAL_BWD_KERNEL", "1")
+    else:
+        monkeypatch.setenv("VMT_TEMPORAL_VJP", "saved")
     rng = jax.random.PRNGKey(0)
     x = jax.random.normal(rng, (B, F, 16, 16, C), jnp.bfloat16) * 0.5
     label = jax.random.normal(rng, (B, F, 32), jnp.float32) * 0.5

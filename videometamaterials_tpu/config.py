@@ -92,6 +92,12 @@ class ModelConfig:
     temporal_s_tile: int | None = None        # s-tiled XLA temporal plan:
                                               # scan over spatial tiles of
                                               # this size (None = untiled)
+    temporal_vjp: str | None = None           # fused temporal backward plan:
+                                              # 'recompute' | 'saved' (kernel
+                                              # emits softmax weights; XLA bwd
+                                              # skips the sim/softmax
+                                              # recompute) | 'kernel'; None =
+                                              # env VMT_TEMPORAL_VJP/default
     bf16_inference_weights: bool = True       # bf16 weight copies inside the
                                               # sampling scans (bit-identical
                                               # under bf16 compute; halves

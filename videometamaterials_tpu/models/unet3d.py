@@ -342,7 +342,8 @@ class Attention(nn.Module):
         return out.transpose(1, 2, 0, 3, 4).reshape(b, f, s, c_in)
 
     def temporal_fused(self, x_bfsc, norm_gamma, pos_bias=None,
-                       label_emb=None, tile=None, bwd_kernel=False):
+                       label_emb=None, tile=None, bwd_kernel=False,
+                       vjp_mode=None):
         """Whole temporal attention block as ONE Pallas kernel
         (ops/pallas/fused_temporal_block.py): QKV, scores, softmax and
         weights never leave VMEM — removes the multi-GB HBM round trips the
@@ -363,7 +364,8 @@ class Attention(nn.Module):
             self.to_out_kernel.astype(self.dtype),
             None if ek is None else ek.astype(self.dtype),
             None if ev is None else ev.astype(self.dtype),
-            bias_all, heads=heads, tile=tile, bwd_kernel=bwd_kernel)
+            bias_all, heads=heads, tile=tile, bwd_kernel=bwd_kernel,
+            vjp_mode=vjp_mode)
 
     def temporal_xla(self, x_bfsc, norm_gamma, pos_bias=None,
                      focus_present_mask=None, label_emb=None):
@@ -662,6 +664,9 @@ class TemporalAttentionBlock(nn.Module):
     # use the whole-block BACKWARD kernel under grad instead of the
     # XLA-reference vjp (fused_temporal_block.py:_bwd_kernel)
     use_bwd_kernel: bool = False
+    # backward plan for the fused block ('recompute' | 'saved' | 'kernel';
+    # None = env/default resolution in fused_temporal_block)
+    vjp_mode: str | None = None
 
     def _make_attn(self):
         return Attention(dim=self.dim, heads=self.heads,
@@ -700,7 +705,8 @@ class TemporalAttentionBlock(nn.Module):
             if self._fused_ok() and focus_present_mask is None:
                 out = attn.temporal_fused(x4, gamma, pos_bias=pos_bias,
                                           label_emb=label_emb,
-                                          bwd_kernel=self.use_bwd_kernel)
+                                          bwd_kernel=self.use_bwd_kernel,
+                                          vjp_mode=self.vjp_mode)
             elif self.s_tile and focus_present_mask is None \
                     and (h * w) % self.s_tile == 0 and h * w > self.s_tile:
                 out = attn.temporal_stiled(x4, gamma, pos_bias=pos_bias,
@@ -869,6 +875,12 @@ class UNet3D(nn.Module):
     # (None = untiled); applies to levels where the tile divides h*w and is
     # smaller than it. Ignored where the fused kernel is selected.
     temporal_s_tile: int | None = None
+    # Backward plan for the fused temporal blocks under grad:
+    # 'recompute' (XLA-reference vjp), 'saved' (forward kernel emits the
+    # softmax weights; hand-written XLA backward skips the sim/softmax
+    # recompute), 'kernel' (whole-block backward Pallas kernel). None =
+    # env VMT_TEMPORAL_VJP, then the kernel-module default.
+    temporal_vjp: str | None = None
 
     def _tri_state(self, flag, dim):
         """False | True/'all' (every level) | 'level0' (full-res blocks) |
@@ -915,6 +927,7 @@ class UNet3D(nn.Module):
                                             dim),
             s_tile=self.temporal_s_tile,
             use_bwd_kernel=self.fused_bwd_kernels,
+            vjp_mode=self.temporal_vjp,
             name=name)
 
     def _spatial_linear_attn(self, dim, name):
@@ -1139,6 +1152,7 @@ class UNet3D(nn.Module):
             use_fused_temporal_block=getattr(
                 cfg, "use_fused_temporal_block", False),
             temporal_s_tile=getattr(cfg, "temporal_s_tile", None),
+            temporal_vjp=getattr(cfg, "temporal_vjp", None),
             fused_bwd_kernels=getattr(cfg, "fused_bwd_kernels", False),
             remat_blocks=getattr(cfg, "remat_blocks", False),
         )

@@ -69,13 +69,26 @@ def _selector(hidden: int, heads: int, dtype):
 DEFAULT_SOFTMAX_LAYOUT = "split"
 
 
+# Backward-plan default for the fused block under grad
+# ("recompute" = XLA-reference vjp (re-runs the XLA forward),
+#  "saved"     = forward kernel emits the softmax weights p and a
+#                hand-written XLA backward consumes them (skips the
+#                sim/softmax recompute — VERDICT r3 ask #2),
+#  "kernel"    = whole-block backward Pallas kernel, measured slower).
+# Env VMT_TEMPORAL_VJP overrides; explicit call args override both.
+DEFAULT_VJP_MODE = "recompute"
+
+
 def _kernel(x_ref, gamma_ref, wall_ref, wout_ref, bias_ref, *refs,
             f: int, heads: int, d: int, has_cond: bool, t_tok: int,
-            ablate: str = "", softmax_layout: str = "split"):
+            ablate: str = "", softmax_layout: str = "split",
+            emit_p: bool = False):
     # `ablate` is a PROBE-ONLY hook (scripts/temporal_phase_probe.py): it
     # skips one phase ("score" | "softmax" | "expand" | "proj") so chained
     # timing differences attribute the kernel's cost per phase. Production
     # paths never set it.
+    refs = list(refs)
+    p_ref = refs.pop() if emit_p else None
     if has_cond:
         eksel_ref, evexp_ref, out_ref = refs
     else:
@@ -154,6 +167,10 @@ def _kernel(x_ref, gamma_ref, wall_ref, wout_ref, bias_ref, *refs,
                 z = z + e_all[:, jg * heads:(jg + 1) * heads]
             p_all = (e_all * jnp.tile(1.0 / z, (1, groups))
                      ).astype(jnp.bfloat16)           # ONE normalize + cast
+            if emit_p:
+                # residual for the saved-p backward: exactly the bf16
+                # weights the expand phase consumes below
+                p_ref[0, i] = p_all
             acc = jnp.zeros((ts, hidden), jnp.float32)
             for j in range(f):
                 a = mm(p_all[:, j * heads:(j + 1) * heads], expand)
@@ -568,6 +585,111 @@ def _run_bwd_kernel(residuals, g, *, heads, tile, interpret):
 fused_temporal_block_core.defvjp(_core_fwd, _core_bwd)
 
 
+def temporal_bwd_from_p(x, gamma, w_all, w_out, ek, ev, bias_all, p, g, *,
+                        heads: int):
+    """Hand-written XLA backward of the fused temporal block given the SAVED
+    softmax weights p (the forward kernel's bf16 p_all residual,
+    (B, F, S, (F+T)*heads) with key-group-major lanes).
+
+    This is the vjp of reference_temporal_block with the sim/softmax
+    forward recompute removed: only the cheap LN+QKV projection is redone
+    (jax.vjp over `proj` below supplies dx/dgamma/dwall exactly); the
+    attention backward is the standard softmax-jacobian algebra driven by p.
+    Using the bf16-rounded p in the jacobian (instead of the f32 weights the
+    true linearization differentiates) perturbs cotangents at bf16 relative
+    scale — the same order as the forward's own bf16 expand phase and the
+    accepted backward-kernel gate (BENCH_NOTES round 3, 0.53% worst rel)."""
+    b, f, s, c = x.shape
+    hidden = w_out.shape[0]
+    d = hidden // heads
+    dtype = w_all.dtype
+    has_cond = ek is not None
+    t_tok = ek.shape[1] if has_cond else 0
+    f32 = jnp.float32
+
+    def proj(x_, gamma_, w_all_):
+        y = channel_layer_norm(x_, gamma_).astype(dtype)
+        return jnp.einsum("bfsc,fch->bfsh", y, w_all_)
+
+    qkv, proj_vjp = jax.vjp(proj, x, gamma, w_all)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    q = q.reshape(b, f, s, heads, d).astype(f32)
+    k = k.reshape(b, f, s, heads, d).astype(f32)
+    v = v.reshape(b, f, s, heads, d).astype(f32)
+
+    p_v = p[..., :f * heads].reshape(b, f, s, f, heads).astype(f32)
+    g32 = g.astype(f32)
+    dout = jnp.einsum("bisc,nc->bisn", g32,
+                      w_out.astype(f32)).reshape(b, f, s, heads, d)
+
+    # value-side cotangents + out recompute (for dwout)
+    out_h = jnp.einsum("bisjh,bjshd->bishd", p_v, v)
+    dp_v = jnp.einsum("bishd,bjshd->bisjh", dout, v)
+    dv = jnp.einsum("bisjh,bishd->bjshd", p_v, dout)
+    tsum = jnp.einsum("bisjh,bisjh->bish", p_v, dp_v)
+    if has_cond:
+        ekh = ek.reshape(b, t_tok, heads, d).astype(f32)
+        evh = ev.reshape(b, t_tok, heads, d).astype(f32)
+        p_c = p[..., f * heads:].reshape(b, f, s, t_tok, heads).astype(f32)
+        out_h = out_h + jnp.einsum("bisth,bthd->bishd", p_c, evh)
+        dp_c = jnp.einsum("bishd,bthd->bisth", dout, evh)
+        dev = jnp.einsum("bisth,bishd->bthd", p_c, dout
+                         ).reshape(b, t_tok, hidden).astype(ev.dtype)
+        tsum = tsum + jnp.einsum("bisth,bisth->bish", p_c, dp_c)
+    dwout = jnp.einsum("bisn,bisc->nc",
+                       out_h.reshape(b, f, s, hidden).astype(dtype), g32
+                       ).astype(w_out.dtype)
+
+    # softmax jacobian + score backward
+    ds_v = p_v * (dp_v - tsum[:, :, :, None, :])
+    dbias = jnp.einsum("bisjh->ijh", ds_v)
+    dq = jnp.einsum("bisjh,bjshd->bishd", ds_v, k)
+    dk = jnp.einsum("bisjh,bishd->bjshd", ds_v, q)
+    dek = None
+    dev = dev if has_cond else None
+    if has_cond:
+        ds_c = p_c * (dp_c - tsum[:, :, :, None, :])
+        dbias = jnp.concatenate(
+            [dbias, jnp.einsum("bisth->ith", ds_c)], axis=1)
+        dq = dq + jnp.einsum("bisth,bthd->bishd", ds_c, ekh)
+        dek = jnp.einsum("bisth,bishd->bthd", ds_c, q
+                         ).reshape(b, t_tok, hidden).astype(ek.dtype)
+
+    dqkv = jnp.concatenate(
+        [dq.reshape(b, f, s, hidden), dk.reshape(b, f, s, hidden),
+         dv.reshape(b, f, s, hidden)], axis=-1).astype(qkv.dtype)
+    dx, dgamma, dwall = proj_vjp(dqkv)
+    dx = (dx.astype(f32) + g32).astype(x.dtype)           # residual path
+    return (dx, dgamma, dwall, dwout, dek, dev,
+            dbias.astype(bias_all.dtype))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+def fused_temporal_block_savedp(x, gamma, w_all, w_out, ek, ev, bias_all,
+                                heads, tile, interpret):
+    out, _ = _run_kernel(x, gamma, w_all, w_out, ek, ev, bias_all,
+                         heads=heads, tile=tile, interpret=interpret,
+                         softmax_layout="merged", emit_p=True)
+    return out
+
+
+def _savedp_fwd(x, gamma, w_all, w_out, ek, ev, bias_all, heads, tile,
+                interpret):
+    out, p = _run_kernel(x, gamma, w_all, w_out, ek, ev, bias_all,
+                         heads=heads, tile=tile, interpret=interpret,
+                         softmax_layout="merged", emit_p=True)
+    return out, (x, gamma, w_all, w_out, ek, ev, bias_all, p)
+
+
+def _savedp_bwd(heads, tile, interpret, residuals, g):
+    x, gamma, w_all, w_out, ek, ev, bias_all, p = residuals
+    return temporal_bwd_from_p(x, gamma, w_all, w_out, ek, ev, bias_all,
+                               p, g, heads=heads)
+
+
+fused_temporal_block_savedp.defvjp(_savedp_fwd, _savedp_bwd)
+
+
 def _pick_tile(s: int) -> int:
     for t in (1152, 1024, 768, 512, 384, 256, 128):
         if s % t == 0:
@@ -576,7 +698,8 @@ def _pick_tile(s: int) -> int:
 
 
 def _run_kernel(x, gamma, w_all, w_out, ek, ev, bias_all, *, heads, tile,
-                interpret, ablate: str = "", softmax_layout: str = "split"):
+                interpret, ablate: str = "", softmax_layout: str = "split",
+                emit_p: bool = False):
     b, f, s, c = x.shape
     hidden = w_out.shape[0]
     d = hidden // heads
@@ -584,6 +707,9 @@ def _run_kernel(x, gamma, w_all, w_out, ek, ev, bias_all, *, heads, tile,
     t_tok = ek.shape[1] if has_cond else 0
     tile = tile or _pick_tile(s)
     assert s % tile == 0, (s, tile)
+    if emit_p:
+        assert softmax_layout == "merged" and not ablate, (
+            "emit_p requires the merged softmax layout (p_all exists there)")
 
     gamma2 = gamma.reshape(1, -1).astype(jnp.float32)
     bias2 = bias_all.astype(jnp.float32)                  # (F, F+T, heads)
@@ -591,7 +717,8 @@ def _run_kernel(x, gamma, w_all, w_out, ek, ev, bias_all, *, heads, tile,
     grid = (b, s // tile)
     kernel = functools.partial(_kernel, f=f, heads=heads, d=d,
                                has_cond=has_cond, t_tok=t_tok,
-                               ablate=ablate, softmax_layout=softmax_layout)
+                               ablate=ablate, softmax_layout=softmax_layout,
+                               emit_p=emit_p)
     in_specs = [
         pl.BlockSpec((1, f, tile, c), lambda bi, ti: (bi, 0, ti, 0),
                      memory_space=pltpu.VMEM),
@@ -633,13 +760,25 @@ def _run_kernel(x, gamma, w_all, w_out, ek, ev, bias_all, *, heads, tile,
         ]
         operands += [eksel, evexp]
 
+    out_shape = jax.ShapeDtypeStruct((b, f, s, c), x.dtype)
+    out_spec = pl.BlockSpec((1, f, tile, c), lambda bi, ti: (bi, 0, ti, 0),
+                            memory_space=pltpu.VMEM)
+    if emit_p:
+        groups = f + t_tok
+        out_shape = [out_shape,
+                     jax.ShapeDtypeStruct((b, f, s, groups * heads),
+                                          jnp.bfloat16)]
+        out_spec = [out_spec,
+                    pl.BlockSpec((1, f, tile, groups * heads),
+                                 lambda bi, ti: (bi, 0, ti, 0),
+                                 memory_space=pltpu.VMEM)]
+
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((b, f, s, c), x.dtype),
+        out_shape=out_shape,
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, f, tile, c), lambda bi, ti: (bi, 0, ti, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=out_spec,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
@@ -650,17 +789,24 @@ def fused_temporal_block(x, gamma, w_all, w_out, ek, ev, bias_all, *,
                          heads: int, tile: int | None = None,
                          interpret: bool | None = None,
                          bwd_kernel: bool = False,
-                         softmax_layout: str | None = None):
+                         softmax_layout: str | None = None,
+                         vjp_mode: str | None = None):
     """x: (B, F, S, C); gamma (C,); w_all (F, C, 3*hidden) rotary+scale
     folded; w_out (hidden, C); ek/ev (B, T, hidden) conditioning K/V
     (rotary already applied to ek), or None; bias_all (F, F+T, heads) with
     the cond columns zeroed when the reference adds no cond bias.
-    Returns x + block(x); differentiable. bwd_kernel=True (or env
-    VMT_TEMPORAL_BWD_KERNEL=1) uses the whole-block backward kernel in
-    place of the XLA-reference vjp. softmax_layout 'merged' runs bias/exp/
-    normalize on one full-lane (TS, groups*heads) array (bit-equal op
-    order); None resolves env VMT_TEMPORAL_SOFTMAX, then the module
-    default DEFAULT_SOFTMAX_LAYOUT."""
+    Returns x + block(x); differentiable.
+
+    softmax_layout 'merged' runs bias/exp/normalize on one full-lane
+    (TS, groups*heads) array (bit-equal op order); None resolves env
+    VMT_TEMPORAL_SOFTMAX, then DEFAULT_SOFTMAX_LAYOUT.
+
+    vjp_mode picks the backward plan under grad: 'recompute' (XLA-reference
+    vjp), 'saved' (forward kernel emits the softmax weights; hand-written
+    XLA backward skips the sim/softmax recompute — forces the merged
+    layout), or 'kernel' (whole-block backward Pallas kernel). None
+    resolves bwd_kernel=True -> 'kernel', then env VMT_TEMPORAL_VJP, then
+    DEFAULT_VJP_MODE."""
     import os
     if interpret is None:
         interpret = os.environ.get("VMT_PALLAS_INTERPRET", "") == "1"
@@ -668,6 +814,13 @@ def fused_temporal_block(x, gamma, w_all, w_out, ek, ev, bias_all, *,
         softmax_layout = os.environ.get("VMT_TEMPORAL_SOFTMAX",
                                         DEFAULT_SOFTMAX_LAYOUT)
     assert softmax_layout in ("split", "merged"), softmax_layout
+    if vjp_mode is None:
+        vjp_mode = "kernel" if bwd_kernel else os.environ.get(
+            "VMT_TEMPORAL_VJP", DEFAULT_VJP_MODE)
+    assert vjp_mode in ("recompute", "saved", "kernel"), vjp_mode
+    if vjp_mode == "saved":
+        return fused_temporal_block_savedp(x, gamma, w_all, w_out, ek, ev,
+                                           bias_all, heads, tile, interpret)
     return fused_temporal_block_core(x, gamma, w_all, w_out, ek, ev,
                                      bias_all, heads, tile, interpret,
-                                     bwd_kernel, softmax_layout)
+                                     vjp_mode == "kernel", softmax_layout)
