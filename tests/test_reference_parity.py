@@ -260,3 +260,65 @@ def test_ddim_trajectory_parity(pair, monkeypatch):
     # agreement is ~1.5e-4 relative (fp32 accumulation over 4 steps)
     np.testing.assert_allclose(_to_jax_video(want), np.asarray(got),
                                atol=0.2, rtol=2e-3)
+
+
+@pytest.mark.slow
+def test_flagship_shape_import_forward_parity(vddp):
+    """Paper-config torch import A/B (VERDICT r3 ask #3): the real reference
+    Unet3D at FLAGSHIP shape — dim 64, dim_mults (1,2,4,8), 96x96, 11 frames
+    (/root/reference/main.py:62-80) — exported through its state dict,
+    imported, and forward-compared. A level-indexing or layout bug in the
+    importer's name map that only manifests with 4 resolutions
+    (vddp.py:574-713) would pass the tiny-config tests and corrupt a real
+    pretrained-weights import; this exercises every level of the map."""
+    import jax
+    import jax.numpy as jnp
+
+    from videometamaterials_tpu.models import UNet3D
+    from videometamaterials_tpu.training.torch_import import import_state_dict
+
+    dim, mults, img, frames, channels = 64, (1, 2, 4, 8), 96, 11, 3
+    torch.manual_seed(0)
+    t_unet = vddp.Unet3D(
+        dim=dim, dim_mults=mults, channels=channels, attn_heads=8,
+        attn_dim_head=32, use_sparse_linear_attn=True, resnet_groups=8,
+        use_temporal_attention_cond=True, cond_to_time="add",
+        per_frame_cond=True, padding_mode="zeros").eval()
+
+    j_unet = UNet3D(
+        dim=dim, dim_mults=mults, channels=channels, attn_heads=8,
+        attn_dim_head=32, use_sparse_linear_attn=True, resnet_groups=8,
+        use_temporal_attention_cond=True, cond_to_time="add",
+        per_frame_cond=True, padding_mode="zeros", compute_dtype="float32")
+
+    rng = jax.random.PRNGKey(0)
+    # shape-only template (no init compute): every leaf must be overwritten
+    # by the importer under strict=True anyway
+    shapes = jax.eval_shape(
+        j_unet.init, rng, jnp.zeros((1, frames, img, img, channels)),
+        jnp.zeros((1,), jnp.int32), jnp.zeros((1, frames)))
+    template = jax.tree.map(lambda s: np.zeros(s.shape, s.dtype), shapes)
+    state = {"denoise_fn." + k: v.detach().cpu().numpy()
+             for k, v in t_unet.state_dict().items()}
+    params = import_state_dict(state, template, num_resolutions=len(mults),
+                               strict=True)
+    params = jax.tree.map(jnp.asarray, params)
+
+    rng_np = np.random.RandomState(0)
+    x = rng_np.standard_normal((2, channels, frames, img, img)).astype(
+        np.float32) * 0.5
+    t = np.array([3, 200], dtype=np.int64)
+    cond = rng_np.uniform(-1.0, 1.0, (2, frames)).astype(np.float32)
+
+    for null in (False, True):
+        with torch.no_grad():
+            want = t_unet(torch.from_numpy(x), torch.from_numpy(t),
+                          cond=torch.from_numpy(cond),
+                          null_cond_prob=1.0 if null else 0.0).numpy()
+        got = j_unet.apply(
+            params, jnp.asarray(_to_jax_video(x)), jnp.asarray(t),
+            jnp.asarray(cond),
+            null_cond_mask=jnp.full((2,), null, dtype=bool))
+        np.testing.assert_allclose(
+            _to_jax_video(want), np.asarray(got), atol=3e-4, rtol=1e-3,
+            err_msg=f"flagship forward mismatch (null={null})")
