@@ -50,6 +50,29 @@ def main():
     with open(os.path.join(outdir, f"out_{pid}.txt"), "w") as f:
         f.write(repr(val))
 
+    # orbax save/restore of a CROSS-PROCESS sharded array: `arr` is not
+    # fully addressable on either process (each holds 2 of 4 shards), so
+    # save_checkpoint must hand it to Orbax as a jax.Array (each host
+    # writes its own shards); restore returns the full array on every host
+    from videometamaterials_tpu.training.checkpoint import (
+        load_checkpoint,
+        save_checkpoint,
+        wait_for_saves,
+    )
+
+    assert not arr.is_fully_addressable
+    run_dir = os.path.join(outdir, "ckpt_run")
+    save_checkpoint(run_dir, 7, {"params": {"w": arr}, "step": np.int32(7)},
+                    backend="orbax")
+    wait_for_saves()
+    template = {"params": {"w": np.zeros_like(global_batch)},
+                "step": np.int32(0)}
+    restored, warn = load_checkpoint(run_dir, 7, template)
+    ok = (not warn and int(restored["step"]) == 7
+          and np.array_equal(restored["params"]["w"], global_batch))
+    with open(os.path.join(outdir, f"ckpt_{pid}.txt"), "w") as f:
+        f.write("ok" if ok else f"FAIL warn={warn}")
+
 
 if __name__ == "__main__":
     main()

@@ -46,6 +46,8 @@ def test_two_process_global_batch(tmp_path):
     for pid in range(2):
         got = float(open(tmp_path / f"out_{pid}.txt").read())
         assert abs(got - want) < 1e-4, (pid, got, want)
+        # cross-process SHARDED orbax save/restore round-tripped on both
+        assert open(tmp_path / f"ckpt_{pid}.txt").read() == "ok", pid
 
 
 def test_two_process_train_ckpt_sample(tmp_path):

@@ -187,6 +187,40 @@ def test_overlapping_orbax_saves(tmp_path):
                                    np.arange(4.0) + step)
 
 
+def test_orbax_roundtrips_sharded_state(tmp_path):
+    """Orbax save/restore with ACTUALLY-SHARDED arrays (VERDICT r3 ask #7):
+    a payload mixing a batch-sharded leaf, a replicated leaf, and a host
+    scalar round-trips through the async orbax path, and the restored
+    values re-place onto the original shardings."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from videometamaterials_tpu.training import checkpoint as ckpt
+
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ("data",))
+    bsh = NamedSharding(mesh, P("data"))
+    repl = NamedSharding(mesh, P())
+
+    w = jax.device_put(np.arange(8 * 3, dtype=np.float32).reshape(8, 3), bsh)
+    g = jax.device_put(np.linspace(0, 1, 5).astype(np.float32), repl)
+    payload = {"params": {"w": w, "gamma": g}, "step": np.int32(7)}
+    assert w.sharding.is_equivalent_to(bsh, w.ndim)
+
+    ckpt.save_checkpoint(tmp_path, 7, payload, backend="orbax")
+    ckpt.wait_for_saves()
+
+    template = {"params": {"w": np.zeros((8, 3), np.float32),
+                           "gamma": np.zeros(5, np.float32)},
+                "step": np.int32(0)}
+    restored, warn = ckpt.load_checkpoint(tmp_path, 7, template)
+    assert not warn
+    np.testing.assert_array_equal(restored["params"]["w"], np.asarray(w))
+    np.testing.assert_array_equal(restored["params"]["gamma"], np.asarray(g))
+    assert int(restored["step"]) == 7
+    # restored state is placeable back onto the training shardings
+    w2 = jax.device_put(restored["params"]["w"], bsh)
+    np.testing.assert_array_equal(np.asarray(w2), np.asarray(w))
+
+
 def test_sample_inside_jit_matches_host_chunked():
     """A chunk-configured sampler traced under an outer jit (inside_jit=True)
     must fuse into one scan and match the host-driven chunked execution —

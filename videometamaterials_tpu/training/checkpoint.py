@@ -69,14 +69,22 @@ def save_checkpoint(results_folder: str | Path, step: int, payload: dict,
     primary = jax.process_index() == 0
     if primary:
         d.mkdir(parents=True, exist_ok=True)
-    host_payload = jax.device_get(payload)
     if backend == "orbax":
         # EVERY process must reach these calls: AsyncCheckpointer.save and
         # wait_until_finished run cross-process barriers in a multi-host
         # runtime (a process-0-only call would deadlock the job); Orbax
         # itself writes replicated arrays from the primary host only.
+        # Leaves sharded ACROSS processes (not fully addressable — e.g. a
+        # tensor-sharded optimizer state) cannot be host-gathered here;
+        # they pass through as jax.Arrays and Orbax writes each host's
+        # shards directly into the same array file.
+        def snapshot(x):
+            if isinstance(x, jax.Array) and not x.is_fully_addressable:
+                return x
+            return np.asarray(jax.device_get(x))
+
+        host_payload = jax.tree.map(snapshot, payload)
         path = d / "orbax"
-        host_payload = jax.tree.map(np.asarray, host_payload)
         ckptr = _get_async_checkpointer()
         # join any in-flight save first: AsyncCheckpointer raises if a new
         # save is issued while another is still writing (possible when the
@@ -89,7 +97,7 @@ def save_checkpoint(results_folder: str | Path, step: int, payload: dict,
     else:
         path = d / "checkpoint.msgpack"
         if primary:
-            path.write_bytes(serialization.to_bytes(host_payload))
+            path.write_bytes(serialization.to_bytes(jax.device_get(payload)))
     if aux is not None and primary:
         (d / "aux.json").write_text(json.dumps(aux))
     if keep_last is not None and primary:
@@ -147,6 +155,18 @@ def _restore_raw(d: Path, template: dict):
         import orbax.checkpoint as ocp
 
         raw = ocp.StandardCheckpointer().restore(orbax_path)
+
+        # in a multi-process runtime orbax restores leaves it saved from
+        # cross-process sharded arrays as global jax.Arrays again; gather
+        # them so the grafting below always sees host values
+        def to_host(x):
+            if isinstance(x, jax.Array) and not x.is_fully_addressable:
+                from jax.experimental import multihost_utils
+                return np.asarray(multihost_utils.process_allgather(
+                    x, tiled=True))
+            return x
+
+        raw = jax.tree.map(to_host, raw)
         # orbax restores sequence nodes as real lists and empty containers
         # (e.g. optax EmptyState) as None; normalize to the msgpack
         # state-dict convention ({'0': ...}, {}) for uniform grafting
