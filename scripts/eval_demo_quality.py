@@ -29,14 +29,23 @@ def main():
     p.add_argument("--frame-ranges", required=True)
     p.add_argument("--num-preds", type=int, default=1)
     p.add_argument("--num-frames", type=int, default=11)
+    p.add_argument("--ref-frame", default="lagrangian",
+                   choices=["lagrangian", "eulerian"])
     p.add_argument("--out", default="quality_report")
+    p.add_argument("--train-curves", default=None,
+                   help="stress_strain_data.csv of the TRAINING corpus: "
+                        "adds the closest-training-match baseline of the "
+                        "paper protocol (src/utils.py:97-156)")
     p.add_argument("--metrics", default=None,
                    help="metrics.jsonl of the training run: adds the "
                         "training/validation loss-curve artifact")
     args = p.parse_args()
 
     from videometamaterials_tpu.data.dataset import interpolate_labels
-    from videometamaterials_tpu.postproc.metrics import compute_NRMSE
+    from videometamaterials_tpu.postproc.metrics import (
+        compute_NRMSE,
+        compute_full_error,
+    )
     from videometamaterials_tpu.postproc.visualization import (
         estimate_stress_strain,
         load_cell_fields,
@@ -57,8 +66,8 @@ def main():
         errs = []
         for col in range(args.num_preds):
             fields = load_cell_fields(gifs, args.frame_ranges, row, col,
-                                      ref_frame="lagrangian")
-            _, est = estimate_stress_strain(fields["s22"], "lagrangian")
+                                      ref_frame=args.ref_frame)
+            _, est = estimate_stress_strain(fields["s22"], args.ref_frame)
             nrmse = compute_NRMSE(targets[row], est)
             errs.append(nrmse)
             curves[(row, col)] = est
@@ -71,12 +80,47 @@ def main():
     all_errs = np.array([e for t in per_target for e in t["errs"]])
     report = {
         "n_targets": n_targets, "num_preds": args.num_preds,
+        "ref_frame": args.ref_frame,
         "best_of_N_nrmse_mean": float(best.mean()),
         "best_of_N_nrmse_median": float(np.median(best)),
         "best_of_N_nrmse_max": float(best.max()),
         "all_preds_nrmse_mean": float(all_errs.mean()),
         "per_target": per_target,
     }
+
+    # the full paper protocol (src/utils.py:97-144) through the SAME code
+    # the FEM loop uses: rows grouped [target, pred_1..pred_N] per target,
+    # divergence cut, best-of-N, and — with --train-curves — the
+    # closest-TRAINING-match retrieval baseline and the best relative gap
+    groups = []
+    for r in range(n_targets):
+        groups.append(targets[r])
+        for c in range(args.num_preds):
+            groups.append(curves[(r, c)])
+    data = np.stack(groups)
+    if args.train_curves:
+        train51 = np.genfromtxt(args.train_curves, delimiter=",")
+        full_data = interpolate_labels(train51, args.num_frames)
+        (mean_all, mean_best, min_idx, err_match,
+         best_rel) = compute_full_error(data, n_targets, closest_match=True,
+                                        full_data=full_data)
+        rel = (np.array([t["best_nrmse"] for t in per_target])
+               - err_match) / err_match
+        report["full_error"] = {
+            "mean_all_preds": float(mean_all),
+            "mean_best_of_N": float(mean_best),
+            "best_pred_idx": np.asarray(min_idx).tolist(),
+            "closest_train_match_nrmse": err_match.tolist(),
+            "closest_train_match_nrmse_mean": float(err_match.mean()),
+            "rel_to_closest_match": rel.tolist(),
+            "rel_to_closest_match_mean": float(rel.mean()),
+            "rel_to_closest_match_best": float(best_rel),
+        }
+    else:
+        mean_all, mean_best, min_idx = compute_full_error(data, n_targets)
+        report["full_error"] = {"mean_all_preds": float(mean_all),
+                                "mean_best_of_N": float(mean_best),
+                                "best_pred_idx": np.asarray(min_idx).tolist()}
     out = Path(args.out)
     out.mkdir(parents=True, exist_ok=True)
     (out / "quality.json").write_text(json.dumps(report, indent=2))

@@ -190,3 +190,94 @@ def make_consistent_dataset(folder: str | Path, num_samples: int = 8,
     np.savetxt(folder / "frame_range_data.csv", frame_ranges, delimiter=",")
     np.savetxt(folder / "stress_strain_data.csv", curves, delimiter=",")
     return folder
+
+
+def make_consistent_dataset_eulerian(folder: str | Path,
+                                     num_samples: int = 8,
+                                     image_size: int = 96,
+                                     num_frames: int = 11,
+                                     num_curve_points: int = 51,
+                                     seed: int = 0,
+                                     grf_alpha: float = 6.0) -> Path:
+    """Eulerian-frame sibling of make_consistent_dataset: fields live in the
+    DEFORMED configuration (channels topo/s_mises/s_22/ener, 4-column
+    frame_range_data.csv — dataset.py:_EULER_CHANNELS/_compute_global_ranges)
+    and the s_22 fields are consistent with the conditioning curve under the
+    EULERIAN pixel estimate of create_visualization (src/utils.py:396-403):
+
+        est(eps_i) = -mean_{bottom floor((1-eps_i)*H) rows}(s22_i)
+
+    Per frame the cell is nearest-neighbour squished into the bottom
+    window rows (plates compress from the top), and
+
+        s22_i = -sigma(eps_i)/rho_i * topo_i * (1 + psi_i)
+
+    with rho_i = window mean of topo_i and psi_i zero-topo-mean over the
+    window, so the window mean of s22_i is EXACTLY -sigma(eps_i)."""
+    folder = Path(folder)
+    rng = np.random.default_rng(seed)
+    half = image_size // 2
+
+    for name in ("topo", "s_mises", "s_22", "ener"):
+        (folder / "gifs" / name).mkdir(parents=True, exist_ok=True)
+
+    frame_ranges = np.zeros((num_samples, 4))
+    curves = np.zeros((num_samples, num_curve_points))
+    strains51 = np.linspace(0, 0.2, num_curve_points)
+    eps = np.linspace(0, 0.2, num_frames)
+    eps[0] = 0.01 * 0.2
+
+    yy, xx = np.mgrid[:image_size, :image_size] / image_size
+    psi0 = 0.3 * np.sin(2 * np.pi * xx) * np.sin(2 * np.pi * yy) \
+        + 0.15 * np.cos(4 * np.pi * xx)
+
+    for i in range(num_samples):
+        quarter = generate_geometry(grf_alpha, half, 0.1, 0.4, rng=rng
+                                    ).reshape(half, half)
+        top = np.concatenate([quarter, np.flip(quarter, axis=0)], axis=0)
+        cell = np.concatenate([top, np.flip(top, axis=1)], axis=1
+                              ).astype(np.float64)
+
+        k = 2.5 * cell.mean() ** 1.5 * (1.0 + rng.uniform(-0.25, 0.25))
+        c = rng.uniform(-1.0, 1.5)
+        sigma = k * eps * (1.0 + c * eps)             # (F,) positive
+
+        H = image_size
+        topo = np.zeros((num_frames, H, H))
+        s_22 = np.zeros_like(topo)
+        for fi in range(num_frames):
+            win = int(np.floor((1.0 - eps[fi]) * H))
+            src = np.floor(np.arange(win) * H / win).astype(int)
+            topo[fi, H - win:] = cell[src]            # NN vertical squish
+            psi_w = psi0[H - win:]
+            tw = topo[fi, H - win:]
+            psi_w = psi_w - (tw * psi_w).sum() / tw.sum()
+            rho = tw.sum() / (win * H)
+            s_22[fi, H - win:] = -sigma[fi] / rho * tw * (1.0 + psi_w)
+
+        s_mises = np.abs(s_22) * (0.85 + 0.3 * yy[None])
+        dsig = k * strains51 * (1.0 + c * strains51)
+        w51 = np.concatenate([[0.0], np.cumsum(
+            0.5 * (dsig[1:] + dsig[:-1]) * np.diff(strains51))])
+        w_f = np.interp(eps, strains51, w51)
+        ener = w_f[:, None, None] * topo * (0.9 + 0.2 * psi0)[None]
+
+        ranges = [s_mises.max(), s_22.min(), s_22.max(), ener.max()]
+        frame_ranges[i] = ranges
+
+        def norm01(a, lo, hi):
+            return (a - lo) / (hi - lo) if hi > lo else np.zeros_like(a)
+
+        _write_gif(topo, folder / "gifs" / "topo" / f"{i}.gif")
+        _write_gif(norm01(s_mises, 0, ranges[0]),
+                   folder / "gifs" / "s_mises" / f"{i}.gif")
+        _write_gif(norm01(s_22, ranges[1], ranges[2]),
+                   folder / "gifs" / "s_22" / f"{i}.gif")
+        _write_gif(norm01(ener, 0, ranges[3]),
+                   folder / "gifs" / "ener" / f"{i}.gif")
+
+        curves[i] = k * strains51 * (1.0 + c * strains51)
+
+    np.savetxt(folder / "frame_range_data.csv", frame_ranges, delimiter=",")
+    np.savetxt(folder / "stress_strain_data.csv", curves, delimiter=",")
+    return folder
