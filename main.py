@@ -51,6 +51,14 @@ def main(argv=None):
                    help="CFG-rescale phi (Lin et al. 2023) for sampling; "
                         "overrides the config (incl. a frozen resume "
                         "snapshot). 0 = off = reference parity")
+    p.add_argument("--sampling-timesteps", type=int, default=None,
+                   help="override sampling_timesteps for eval (DDIM iff "
+                        "< train_timesteps, vddp.py:909-911); applies over "
+                        "a frozen resume snapshot too")
+    p.add_argument("--dynamic-thres-method", default=None,
+                   choices=["bisect", "sort"],
+                   help="override the dynamic-threshold quantile method "
+                        "for sampling (config.py: bisect | torch-exact sort)")
     p.add_argument("--data-root", default="./data")
     p.add_argument("--runs-root", default="./runs")
     p.add_argument("--config", default="model.yaml")
@@ -85,9 +93,16 @@ def main(argv=None):
     else:
         config = load_model_yaml(args.config)
         snapshot_run_config(config, run_dir)
-    if args.cfg_rescale is not None:               # sampling-only knob
+    sampling_overrides = {}                        # sampling-only knobs
+    if args.cfg_rescale is not None:
+        sampling_overrides["cfg_rescale"] = args.cfg_rescale
+    if args.sampling_timesteps is not None:
+        sampling_overrides["sampling_timesteps"] = args.sampling_timesteps
+    if args.dynamic_thres_method is not None:
+        sampling_overrides["dynamic_thres_method"] = args.dynamic_thres_method
+    if sampling_overrides:
         import dataclasses
-        config = dataclasses.replace(config, cfg_rescale=args.cfg_rescale)
+        config = dataclasses.replace(config, **sampling_overrides)
 
     trainer_cfg = TrainerConfig(
         train_num_steps=args.train_num_steps,

@@ -14,7 +14,10 @@ from pathlib import Path
 
 import numpy as np
 
-from videometamaterials_tpu.data.synthetic import make_consistent_dataset
+from videometamaterials_tpu.data.synthetic import (
+    make_consistent_dataset,
+    make_consistent_dataset_eulerian,
+)
 from videometamaterials_tpu.fem.grf import generate_geometry
 
 
@@ -25,16 +28,20 @@ def main():
     p.add_argument("--val", type=int, default=32)
     p.add_argument("--targets", type=int, default=8)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--frame", default="lagrangian",
+                   choices=["lagrangian", "eulerian"])
     args = p.parse_args()
 
+    maker = (make_consistent_dataset_eulerian
+             if args.frame == "eulerian" else make_consistent_dataset)
     root = Path(args.root)
-    make_consistent_dataset(root / "lagrangian" / "training",
-                            num_samples=args.train, image_size=96,
-                            num_frames=11, seed=args.seed)
+    maker(root / args.frame / "training",
+          num_samples=args.train, image_size=96,
+          num_frames=11, seed=args.seed)
     print(f"training: {args.train} samples")
-    make_consistent_dataset(root / "lagrangian" / "validation",
-                            num_samples=args.val, image_size=96,
-                            num_frames=11, seed=args.seed + 10_000)
+    maker(root / args.frame / "validation",
+          num_samples=args.val, image_size=96,
+          num_frames=11, seed=args.seed + 10_000)
     print(f"validation: {args.val} samples")
 
     # held-out targets drawn from the same (density-linked) curve family

@@ -23,9 +23,12 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 
 
 def arm_config(name, base):
-    """ModelConfig for an arm name ('onepass' uses base + module patch)."""
-    if name in ("default", "onepass"):
+    """ModelConfig for an arm name ('onepass'/'smerged' use base + module
+    patch applied only while the arm's programs trace)."""
+    if name in ("default", "onepass", "smerged", "smerged_onepass"):
         return base
+    if name == "thres_sort":
+        return base.replace(dynamic_thres_method="sort")
     if name == "bw_off":
         return base.replace(bf16_inference_weights=False)
     if name == "fl_all":
@@ -76,14 +79,18 @@ def main():
     cond = jax.random.uniform(rng, (args.batch, base.num_frames), jnp.float32,
                               -1.0, 1.0)
 
-    # warm each arm; the one-pass-stats flag is read at TRACE time, so patch
-    # it only around the 'onepass' arm's first (tracing) call
+    # warm each arm; the one-pass-stats flag and the temporal softmax
+    # layout are read at TRACE time, so patch the module globals only
+    # around the matching arm's first (tracing) call
+    from videometamaterials_tpu.ops.pallas import fused_temporal_block as ftb
     for n, (_, d) in arms.items():
-        norms.ONE_PASS_STATS = (n == "onepass")
+        norms.ONE_PASS_STATS = "onepass" in n
+        ftb.DEFAULT_SOFTMAX_LAYOUT = "merged" if "smerged" in n else "split"
         t0 = time.perf_counter()
         jax.block_until_ready(d.sample(params, rng, cond, guidance_scale=5.0))
         print(f"warm {n}: {time.perf_counter()-t0:.1f}s", flush=True)
     norms.ONE_PASS_STATS = False
+    ftb.DEFAULT_SOFTMAX_LAYOUT = "split"
 
     best = {n: float("inf") for n in arms}
     for i in range(args.rounds):
