@@ -42,6 +42,11 @@ def arm_config(name, base):
     if name.startswith("stile"):
         return base.replace(use_fused_temporal_block=False,
                             temporal_s_tile=int(name[5:]))
+    if name.startswith("ddim"):
+        # DDIM with reduced steps (vddp.py:909-911,986-1018): the cheap
+        # throughput lever; quality cost measured separately via the
+        # eval_demo_quality trade curve
+        return base.replace(sampling_timesteps=int(name[4:]))
     raise SystemExit(f"unknown arm {name}")
 
 
