@@ -85,14 +85,19 @@ def test_sampling_sharded_equals_replicated(setup):
     rng = jax.random.PRNGKey(3)
     cond = jax.device_get(labels)
 
+    # sample() is traced under an outer jit here, so inside_jit=True is
+    # required (host-driven scan chunking is impossible under a trace) —
+    # the same contract the Trainer and __graft_entry__ follow
     out_1 = np.asarray(jax.jit(
-        lambda p, r, c: diffusion.sample(p, r, c, guidance_scale=2.0))(
+        lambda p, r, c: diffusion.sample(p, r, c, guidance_scale=2.0,
+                                         inside_jit=True))(
         params, rng, jnp.asarray(cond)))
 
     bsh = NamedSharding(mesh8, P("data"))
     repl = NamedSharding(mesh8, P())
     fn = jax.jit(lambda p, r, c: diffusion.sample(p, r, c,
-                                                  guidance_scale=2.0),
+                                                  guidance_scale=2.0,
+                                                  inside_jit=True),
                  in_shardings=(repl, None, bsh))
     out_8 = np.asarray(fn(jax.device_put(params, repl), rng,
                           jax.device_put(jnp.asarray(cond), bsh)))

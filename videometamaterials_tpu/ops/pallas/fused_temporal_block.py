@@ -126,7 +126,11 @@ def _kernel(x_ref, gamma_ref, wall_ref, wout_ref, bias_ref, *refs,
         k.append(qkv[:, hidden:2 * hidden])
         v.append(qkv[:, 2 * hidden:])
 
-    bias = bias_ref[...]                                  # (F, F+T, heads)
+    # Merged layout gets the bias pre-flattened to (F, (F+T)*heads) on the
+    # host: an in-kernel (groups, heads) -> (1, groups*heads) reshape is a
+    # sublane->lane layout cast Mosaic rejects ("unsupported shape cast");
+    # a 2-D row slice of the pre-merged table is layout-free.
+    bias = bias_ref[...]          # (F, F+T, heads) | (F, (F+T)*heads) merged
     w_out_mat = wout_ref[...]
 
     # Conditioning keys/values are per-frame CONSTANTS across positions, so
@@ -156,8 +160,7 @@ def _kernel(x_ref, gamma_ref, wall_ref, wout_ref, bias_ref, *refs,
             sims_nb = [mm(q_i * k[j], sel) for j in range(f)]
             if has_cond:
                 sims_nb.append(mm(q_i, eksel))        # (TS, T*heads) merged
-            sim_all = (jnp.concatenate(sims_nb, axis=1)
-                       + bias[i].reshape(1, groups * heads))
+            sim_all = jnp.concatenate(sims_nb, axis=1) + bias[i:i + 1, :]
             m = sim_all[:, :heads]
             for jg in range(1, groups):
                 m = jnp.maximum(m, sim_all[:, jg * heads:(jg + 1) * heads])
@@ -713,12 +716,23 @@ def _run_kernel(x, gamma, w_all, w_out, ek, ev, bias_all, *, heads, tile,
 
     gamma2 = gamma.reshape(1, -1).astype(jnp.float32)
     bias2 = bias_all.astype(jnp.float32)                  # (F, F+T, heads)
+    merged_bias = softmax_layout == "merged" and not ablate
+    if merged_bias:
+        # host-side flatten; in-kernel sublane->lane reshape is unsupported
+        bias2 = bias2.reshape(f, (f + t_tok) * heads)
 
     grid = (b, s // tile)
     kernel = functools.partial(_kernel, f=f, heads=heads, d=d,
                                has_cond=has_cond, t_tok=t_tok,
                                ablate=ablate, softmax_layout=softmax_layout,
                                emit_p=emit_p)
+    bias_spec = (pl.BlockSpec((f, (f + t_tok) * heads),
+                              lambda bi, ti: (0, 0),
+                              memory_space=pltpu.VMEM)
+                 if merged_bias else
+                 pl.BlockSpec((f, f + t_tok, heads),
+                              lambda bi, ti: (0, 0, 0),
+                              memory_space=pltpu.VMEM))
     in_specs = [
         pl.BlockSpec((1, f, tile, c), lambda bi, ti: (bi, 0, ti, 0),
                      memory_space=pltpu.VMEM),
@@ -728,8 +742,7 @@ def _run_kernel(x, gamma, w_all, w_out, ek, ev, bias_all, *, heads, tile,
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((hidden, c), lambda bi, ti: (0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((f, f + t_tok, heads), lambda bi, ti: (0, 0, 0),
-                     memory_space=pltpu.VMEM),
+        bias_spec,
     ]
     operands = [x, gamma2, w_all.astype(jnp.bfloat16),
                 w_out.astype(jnp.bfloat16), bias2]
