@@ -20,9 +20,9 @@ import jax.numpy as jnp
 # the input once, so XLA can fuse them into a single HBM pass instead of the
 # sequential mean -> centered-var chain. fp32 accumulation keeps the
 # cancellation error ~1e-7 at post-conv activation scales (pinned by
-# tests/test_norms.py). Opt-in until an in-graph bench win is measured
-# (project rule: standalone wins must be confirmed in-graph).
-ONE_PASS_STATS = os.environ.get("VMT_ONEPASS_NORMS", "") not in ("", "0")
+# tests/test_norms.py). Default ON since the round-4 in-graph bench win:
+# 9.12 vs 8.92 videos/min interleaved best-of-3 (BENCH_NOTES.md round 4).
+ONE_PASS_STATS = os.environ.get("VMT_ONEPASS_NORMS", "1") not in ("", "0")
 
 
 def _stats(x32: jnp.ndarray, axes) -> tuple[jnp.ndarray, jnp.ndarray]:
