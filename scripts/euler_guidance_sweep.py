@@ -8,12 +8,19 @@ checkpoints at flat val loss). Ground truth round-trips the eulerian
 pixel-estimation recipe exactly (ratio 1.000 +- 0.01), so the corpus and
 scorer are sound; the model/guidance combination is what to probe.
 
-One process, all (step, guidance_scale) arms sequential — eval programs
-recompile only when w changes (the sample fn is cached per (batch, w));
-the persistent cache covers repeats. Scoring happens afterwards on CPU
+One process, all (step, guidance_scale[, cfg_rescale]) arms sequential —
+eval programs recompile only when (w, phi) changes (the sample fn is
+cached per (batch, w); a phi change rebuilds the trainer around a
+replaced diffusion config). Scoring happens afterwards on CPU
 (scripts/eval_demo_quality.py).
 
-Usage: python scripts/euler_guidance_sweep.py [--run demo_euler2]
+Also reused for the LAGRANGIAN cfg-rescale quality arms (gaussian.py
+cfg_rescale exists precisely because w=5 was measured to overshoot
+stress magnitude ~1.5x on the synthetic corpus, but no phi arm was ever
+quality-scored):
+
+    python scripts/euler_guidance_sweep.py --run demo4x \
+        --data-root data_demo4x --arms 8000:5:0.7,8000:5:0.5,8000:2
 """
 
 from __future__ import annotations
@@ -26,11 +33,11 @@ from videometamaterials_tpu.config import TrainerConfig, load_model_yaml
 
 
 ARMS = [
-    (6000, 2.0),
-    (6000, 1.0),
-    (4000, 5.0),
-    (2000, 5.0),
-    (4000, 2.0),
+    (6000, 2.0, 0.0),
+    (6000, 1.0, 0.0),
+    (4000, 5.0, 0.0),
+    (2000, 5.0, 0.0),
+    (4000, 2.0, 0.0),
 ]
 
 
@@ -41,37 +48,49 @@ def main():
     p.add_argument("--data-root", default="data_demo4x_euler")
     p.add_argument("--num-preds", type=int, default=10)
     p.add_argument("--arms", default=None,
-                   help="comma list of step:w pairs, e.g. 6000:2,4000:5")
+                   help="comma list of step:w[:phi] triples, "
+                        "e.g. 6000:2,8000:5:0.7")
     args = p.parse_args()
 
     arms = ARMS
     if args.arms:
-        arms = [(int(s), float(w)) for s, w in
-                (a.split(":") for a in args.arms.split(","))]
+        arms = []
+        for a in args.arms.split(","):
+            parts = a.split(":")
+            arms.append((int(parts[0]), float(parts[1]),
+                         float(parts[2]) if len(parts) > 2 else 0.0))
 
     run_dir = Path(args.runs_root) / args.run
-    config = load_model_yaml(run_dir / "model" / "model.yaml")
+    base_config = load_model_yaml(run_dir / "model" / "model.yaml")
     tcfg = TrainerConfig(log=False, test_batch_size=16,
                          num_preds=args.num_preds)
 
+    import dataclasses
+
     from main import build
     data_root = Path(args.data_root)
-    trainer = build(config, tcfg,
-                    str(data_root / config.reference_frame / "training"),
-                    str(data_root / config.reference_frame / "validation"),
-                    str(run_dir), args.run)
+
+    def make_trainer(phi):
+        config = (base_config if phi == 0.0 else
+                  dataclasses.replace(base_config, cfg_rescale=phi))
+        return build(config, tcfg,
+                     str(data_root / config.reference_frame / "training"),
+                     str(data_root / config.reference_frame / "validation"),
+                     str(run_dir), args.run)
 
     targets = str(data_root / "target_responses.csv")
-    loaded = None
-    for step, w in arms:
+    trainer, loaded, cur_phi = None, None, None
+    for step, w, phi in arms:
+        if trainer is None or phi != cur_phi:
+            trainer, cur_phi, loaded = make_trainer(phi), phi, None
         if loaded != step:
             trainer.load(step)
             loaded = step
         t0 = time.time()
-        trainer.eval_target(targets, guidance_scale=w,
-                            num_preds=args.num_preds)
-        print(f"[sweep] step={step} w={w} done in {time.time()-t0:.0f}s",
-              flush=True)
+        out = trainer.eval_target(targets, guidance_scale=w,
+                                  num_preds=args.num_preds)
+        print(f"[sweep] step={step} w={w} phi={phi} -> {out} "
+              f"in {time.time()-t0:.0f}s", flush=True)
 
 
 if __name__ == "__main__":
