@@ -29,6 +29,13 @@ import argparse
 import time
 from pathlib import Path
 
+import jax
+
+# persistent compile cache: arms differing only in (step) reuse programs
+# across processes; w/phi changes still pay one remote compile each
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
 from videometamaterials_tpu.config import TrainerConfig, load_model_yaml
 
 
