@@ -14,7 +14,18 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import os
 from pathlib import Path
+
+import jax
+
+# Persistent XLA compile cache: remote TPU compiles take minutes per
+# program; repeat CLI invocations (resume, milestone evals, sweeps) reuse
+# them. VMT_COMPILE_CACHE_DIR= (empty) disables.
+_cache_dir = os.environ.get("VMT_COMPILE_CACHE_DIR", "/tmp/jax_cache")
+if _cache_dir:
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 
 from videometamaterials_tpu.config import (
     ModelConfig,
