@@ -8,11 +8,11 @@ checkpoints at flat val loss). Ground truth round-trips the eulerian
 pixel-estimation recipe exactly (ratio 1.000 +- 0.01), so the corpus and
 scorer are sound; the model/guidance combination is what to probe.
 
-One process, all (step, guidance_scale[, cfg_rescale]) arms sequential —
-eval programs recompile only when (w, phi) changes (the sample fn is
-cached per (batch, w); a phi change rebuilds the trainer around a
-replaced diffusion config). Scoring happens afterwards on CPU
-(scripts/eval_demo_quality.py).
+One process, all (step, guidance_scale[, cfg_rescale]) arms sequential.
+(w, phi) are passed as TRACED operands (jax scalars), so every arm —
+any step, any w, any phi — reuses the ONE compiled sampling program;
+only the first arm pays a remote compile. Scoring happens afterwards on
+CPU (scripts/eval_demo_quality.py).
 
 Also reused for the LAGRANGIAN cfg-rescale quality arms (gaussian.py
 cfg_rescale exists precisely because w=5 was measured to overshoot
@@ -72,30 +72,30 @@ def main():
     tcfg = TrainerConfig(log=False, test_batch_size=16,
                          num_preds=args.num_preds)
 
-    import dataclasses
-
     from main import build
     data_root = Path(args.data_root)
 
-    def make_trainer(phi):
-        config = (base_config if phi == 0.0 else
-                  dataclasses.replace(base_config, cfg_rescale=phi))
-        return build(config, tcfg,
-                     str(data_root / config.reference_frame / "training"),
-                     str(data_root / config.reference_frame / "validation"),
-                     str(run_dir), args.run)
+    import jax.numpy as jnp
+
+    trainer = build(base_config, tcfg,
+                    str(data_root / base_config.reference_frame / "training"),
+                    str(data_root / base_config.reference_frame
+                        / "validation"),
+                    str(run_dir), args.run)
 
     targets = str(data_root / "target_responses.csv")
-    trainer, loaded, cur_phi = None, None, None
+    loaded = None
     for step, w, phi in arms:
-        if trainer is None or phi != cur_phi:
-            trainer, cur_phi, loaded = make_trainer(phi), phi, None
         if loaded != step:
             trainer.load(step)
             loaded = step
         t0 = time.time()
-        out = trainer.eval_target(targets, guidance_scale=w,
-                                  num_preds=args.num_preds)
+        # jax-scalar knobs = traced operands: EVERY (w, phi) arm reuses the
+        # one compiled sampling program (GaussianDiffusion.guided_eps doc)
+        out = trainer.eval_target(targets,
+                                  guidance_scale=jnp.float32(w),
+                                  num_preds=args.num_preds,
+                                  cfg_rescale=jnp.float32(phi))
         print(f"[sweep] step={step} w={w} phi={phi} -> {out} "
               f"in {time.time()-t0:.0f}s", flush=True)
 

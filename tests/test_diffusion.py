@@ -190,6 +190,75 @@ def test_sampler_cfg_rescale_through_jitted_scan():
     assert not np.array_equal(np.asarray(on), np.asarray(base))
 
 
+def test_traced_guidance_matches_static():
+    """guidance_scale / cfg_rescale passed as jax scalars (traced operands,
+    so sweep arms share one compiled program) must reproduce the
+    Python-float (compiled-in) path."""
+    kw = dict(model=_CondNullModel(), image_size=8, num_frames=2,
+              channels=1, timesteps=6)
+    rng = jax.random.PRNGKey(0)
+    cond = jnp.zeros((2, 2))
+
+    # w traced, phi 0: the traced program computes the rescale branch with
+    # phi=0, which is an exact identity
+    static = GaussianDiffusion(**kw).sample(None, rng, cond,
+                                            guidance_scale=5.0)
+    traced = GaussianDiffusion(**kw).sample(
+        None, rng, cond, guidance_scale=jnp.float32(5.0),
+        cfg_rescale=jnp.float32(0.0))
+    np.testing.assert_array_equal(np.asarray(static), np.asarray(traced))
+
+    # nonzero phi: traced operand vs config-static value (weak-typed float
+    # math differs only in the (1 - phi) rounding)
+    static_phi = GaussianDiffusion(**kw, cfg_rescale=0.7).sample(
+        None, rng, cond, guidance_scale=5.0)
+    traced_phi = GaussianDiffusion(**kw).sample(
+        None, rng, cond, guidance_scale=jnp.float32(5.0),
+        cfg_rescale=jnp.float32(0.7))
+    np.testing.assert_allclose(np.asarray(static_phi),
+                               np.asarray(traced_phi), rtol=2e-5, atol=2e-6)
+
+
+def test_traced_guidance_shares_one_chunk_program():
+    """In the chunked sampler, different traced (w, phi) values must reuse
+    the SAME jitted chunk entries (the whole point: no recompile per arm)."""
+    d = GaussianDiffusion(model=_CondNullModel(), image_size=8, num_frames=2,
+                          channels=1, timesteps=6, scan_chunk_size=4)
+    rng = jax.random.PRNGKey(1)
+    cond = jnp.zeros((2, 2))
+    a = d.sample(None, rng, cond, guidance_scale=jnp.float32(2.0),
+                 cfg_rescale=jnp.float32(0.0))
+    keys_after_first = set(d._jit_cache)
+    b = d.sample(None, rng, cond, guidance_scale=jnp.float32(7.0),
+                 cfg_rescale=jnp.float32(0.5))
+    assert set(d._jit_cache) == keys_after_first
+    assert all("traced" in k for k in keys_after_first)
+    assert not np.array_equal(np.asarray(a), np.asarray(b))
+    # and the chunked traced path equals the single-scan traced path
+    d1 = GaussianDiffusion(model=_CondNullModel(), image_size=8,
+                           num_frames=2, channels=1, timesteps=6)
+    ref = d1.sample(None, rng, cond, guidance_scale=jnp.float32(2.0),
+                    cfg_rescale=jnp.float32(0.0))
+    np.testing.assert_allclose(np.asarray(a), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_traced_guidance_under_outer_jit():
+    """The Trainer's non-chunked sample fn jits sample() with (w, phi) as
+    arguments; outputs must match the compiled-in-float program."""
+    kw = dict(model=_CondNullModel(), image_size=8, num_frames=2,
+              channels=1, timesteps=6)
+    d = GaussianDiffusion(**kw)
+    rng = jax.random.PRNGKey(2)
+    cond = jnp.zeros((2, 2))
+    jitted = jax.jit(lambda r, c, w, phi: d.sample(
+        None, r, c, guidance_scale=w, inside_jit=True, cfg_rescale=phi))
+    out = jitted(rng, cond, jnp.float32(5.0), jnp.float32(0.0))
+    ref = jax.jit(lambda r, c: d.sample(
+        None, r, c, guidance_scale=5.0, inside_jit=True))(rng, cond)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
 def test_reduce_csv_to_first_n_rows(tmp_path):
     from videometamaterials_tpu.postproc.metrics import (
         reduce_csv_to_first_n_rows,

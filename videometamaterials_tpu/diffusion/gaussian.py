@@ -161,11 +161,21 @@ class GaussianDiffusion:
         return mean, var, log_var
 
     # ----------------------------------------------------------------- model
-    def guided_eps(self, params, x, t, cond, guidance_scale: float):
+    def guided_eps(self, params, x, t, cond, guidance_scale,
+                   cfg_rescale=None):
         """Classifier-free-guided noise prediction. Folds the two forwards of
-        vddp.py:715-728 into one model call on a doubled batch."""
+        vddp.py:715-728 into one model call on a doubled batch.
+
+        `guidance_scale` and `cfg_rescale` accept Python floats (baked into
+        the compiled program, exactly the historical behavior) OR jax scalars
+        — traced operands, so (w, phi) sweeps share ONE compiled program
+        instead of paying a multi-minute remote compile per arm.
+        cfg_rescale=None falls back to the config value."""
+        phi = self.cfg_rescale if cfg_rescale is None else cfg_rescale
         b = x.shape[0]
-        if guidance_scale == 1.0:
+        w_static = not isinstance(guidance_scale, jax.Array)
+        if w_static and guidance_scale == 1.0:
+            # w == 1 makes CFG a no-op and the rescale an identity
             return self.model.apply(
                 params, x, t, cond,
                 null_cond_mask=jnp.zeros((b,), dtype=bool))
@@ -184,8 +194,14 @@ class GaussianDiffusion:
             eps2 = self.model.apply(params, x2, t2, cond2,
                                     null_cond_mask=mask2)
         eps_cond, eps_null = jnp.split(eps2, 2, axis=0)
+        if not w_static:
+            # cast the operand to the result dtype the weak-typed Python
+            # float would have produced (bf16*f32 promotion would silently
+            # widen every downstream sampling op)
+            guidance_scale = guidance_scale.astype(eps_null.dtype)
         eps = eps_null + (eps_cond - eps_null) * guidance_scale
-        if self.cfg_rescale > 0.0:
+        phi_traced = isinstance(phi, jax.Array)
+        if phi_traced or phi > 0.0:
             # Lin et al. 2023 §3.4 (diffusers' guidance_rescale): restore
             # the conditional prediction's per-sample std, blend by phi
             axes = tuple(range(1, eps.ndim))
@@ -195,8 +211,12 @@ class GaussianDiffusion:
                               keepdims=True)
             rescaled = eps * (std_cond
                               / jnp.maximum(std_cfg, 1e-8)).astype(eps.dtype)
-            eps = (self.cfg_rescale * rescaled
-                   + (1.0 - self.cfg_rescale) * eps).astype(eps.dtype)
+            if phi_traced:
+                phi = phi.astype(eps.dtype)
+                one_minus = (1.0 - phi.astype(jnp.float32)).astype(eps.dtype)
+            else:
+                one_minus = 1.0 - phi
+            eps = (phi * rescaled + one_minus * eps).astype(eps.dtype)
         return eps
 
     def _maybe_threshold(self, x_recon):
@@ -236,18 +256,21 @@ class GaussianDiffusion:
         return jnp.clip(x_recon, -s, s) / s
 
     def p_mean_variance(self, params, x, t, cond, guidance_scale,
-                        clip_denoised: bool = True):
-        eps = self.guided_eps(params, x, t, cond, guidance_scale)
+                        clip_denoised: bool = True, cfg_rescale=None):
+        eps = self.guided_eps(params, x, t, cond, guidance_scale,
+                              cfg_rescale=cfg_rescale)
         x_recon = self.predict_start_from_noise(x, t, eps)
         if clip_denoised:
             x_recon = self._maybe_threshold(x_recon)
         return self.q_posterior(x_recon, x, t)
 
     # --------------------------------------------------------------- samplers
-    def p_sample(self, params, rng, x, t, cond, guidance_scale):
+    def p_sample(self, params, rng, x, t, cond, guidance_scale,
+                 cfg_rescale=None):
         """One ancestral step (vddp.py:956-963). t: (b,) int array."""
         mean, _, log_var = self.p_mean_variance(params, x, t, cond,
-                                                guidance_scale)
+                                                guidance_scale,
+                                                cfg_rescale=cfg_rescale)
         noise = jax.random.normal(rng, x.shape, x.dtype)
         nonzero = (t > 0).astype(x.dtype).reshape(-1, *((1,) * (x.ndim - 1)))
         return mean + nonzero * jnp.exp(0.5 * log_var) * noise
@@ -263,7 +286,8 @@ class GaussianDiffusion:
             return params
         return cast_params_for_inference(params)
 
-    def _ddpm_scan(self, params, img, rng, ts, cond, guidance_scale):
+    def _ddpm_scan(self, params, img, rng, ts, cond, guidance_scale,
+                   cfg_rescale=None):
         """Scan the ancestral chain over the given timestep array."""
         params = self._inference_params(params)
         b = img.shape[0]
@@ -273,14 +297,27 @@ class GaussianDiffusion:
             key, sub = jax.random.split(key)
             t_vec = jnp.full((b,), t_scalar, dtype=jnp.int32)
             img = self._constrain_spatial(
-                self.p_sample(params, sub, img, t_vec, cond, guidance_scale))
+                self.p_sample(params, sub, img, t_vec, cond, guidance_scale,
+                              cfg_rescale=cfg_rescale))
             return (img, key), None
 
         (img, rng), _ = jax.lax.scan(step, (img, rng), ts)
         return img, rng
 
+    def _traced_guidance(self, guidance_scale, cfg_rescale):
+        """(traced?, w_operand, phi_operand) for the chunked samplers: if
+        EITHER knob is a jax array, both become f32 operands of one shared
+        compiled chunk program (sweep arms then recompile nothing)."""
+        traced = (isinstance(guidance_scale, jax.Array)
+                  or isinstance(cfg_rescale, jax.Array))
+        if not traced:
+            return False, None, None
+        phi = self.cfg_rescale if cfg_rescale is None else cfg_rescale
+        return (True, jnp.asarray(guidance_scale, jnp.float32),
+                jnp.asarray(phi, jnp.float32))
+
     def p_sample_loop(self, params, rng, shape, cond, guidance_scale,
-                      inside_jit: bool = False):
+                      inside_jit: bool = False, cfg_rescale=None):
         """Full T-step ancestral chain (vddp.py:965-975): one lax.scan, or —
         with scan_chunk_size — host-driven segments of a single compiled
         chunk program. Callers that trace this function under an outer jit
@@ -293,28 +330,41 @@ class GaussianDiffusion:
 
         if not self.scan_chunk_size or inside_jit:
             img, _ = self._ddpm_scan(params, img, rng, ts, cond,
-                                     guidance_scale)
+                                     guidance_scale, cfg_rescale=cfg_rescale)
             return unnormalize_img(img)
 
         k = self.scan_chunk_size
         ts_host = np.asarray(ts)
+        traced, w_op, phi_op = self._traced_guidance(guidance_scale,
+                                                     cfg_rescale)
 
         def chunk_fn(length):
-            key = ("ddpm", shape, guidance_scale, length)
-            if key not in self._jit_cache:
-                self._jit_cache[key] = jax.jit(
-                    lambda p, i, r, t, c: self._ddpm_scan(
-                        p, i, r, t, c, guidance_scale),
-                    donate_argnums=(1,))
+            if traced:
+                key = ("ddpm", shape, "traced", length)
+                if key not in self._jit_cache:
+                    self._jit_cache[key] = jax.jit(
+                        lambda p, i, r, t, c, w, phi: self._ddpm_scan(
+                            p, i, r, t, c, w, cfg_rescale=phi),
+                        donate_argnums=(1,))
+            else:
+                key = ("ddpm", shape, guidance_scale, cfg_rescale, length)
+                if key not in self._jit_cache:
+                    self._jit_cache[key] = jax.jit(
+                        lambda p, i, r, t, c: self._ddpm_scan(
+                            p, i, r, t, c, guidance_scale,
+                            cfg_rescale=cfg_rescale),
+                        donate_argnums=(1,))
             return self._jit_cache[key]
 
         for start in range(0, len(ts_host), k):
             chunk = ts_host[start:start + k]
+            extra = (w_op, phi_op) if traced else ()
             img, rng = chunk_fn(len(chunk))(params, img, rng,
-                                            jnp.asarray(chunk), cond)
+                                            jnp.asarray(chunk), cond, *extra)
         return unnormalize_img(img)
 
-    def _ddim_scan(self, params, img, rng, pairs, cond, guidance_scale):
+    def _ddim_scan(self, params, img, rng, pairs, cond, guidance_scale,
+                   cfg_rescale=None):
         params = self._inference_params(params)
         b = img.shape[0]
         eta = self.ddim_sampling_eta
@@ -325,7 +375,8 @@ class GaussianDiffusion:
             key, sub = jax.random.split(key)
             t_now, t_next = pair[0], pair[1]
             t_vec = jnp.full((b,), t_now, dtype=jnp.int32)
-            eps = self.guided_eps(params, img, t_vec, cond, guidance_scale)
+            eps = self.guided_eps(params, img, t_vec, cond, guidance_scale,
+                                  cfg_rescale=cfg_rescale)
             x_start = self.predict_start_from_noise(img, t_vec, eps)
 
             alpha = abar[t_now]
@@ -345,7 +396,7 @@ class GaussianDiffusion:
         return img, rng
 
     def ddim_sample(self, params, rng, shape, cond, guidance_scale,
-                    inside_jit: bool = False):
+                    inside_jit: bool = False, cfg_rescale=None):
         """DDIM sampler (vddp.py:986-1018), eta-noise optional; chunked like
         p_sample_loop when scan_chunk_size is set (see its inside_jit doc)."""
         total, steps = self.timesteps, self.sampling_timesteps
@@ -359,37 +410,54 @@ class GaussianDiffusion:
 
         if not self.scan_chunk_size or inside_jit:
             img, _ = self._ddim_scan(params, img, rng, jnp.asarray(pairs),
-                                     cond, guidance_scale)
+                                     cond, guidance_scale,
+                                     cfg_rescale=cfg_rescale)
             return unnormalize_img(img)
 
         k = self.scan_chunk_size
+        traced, w_op, phi_op = self._traced_guidance(guidance_scale,
+                                                     cfg_rescale)
 
         def chunk_fn(length):
-            key = ("ddim", shape, guidance_scale, length)
-            if key not in self._jit_cache:
-                self._jit_cache[key] = jax.jit(
-                    lambda p, i, r, t, c: self._ddim_scan(
-                        p, i, r, t, c, guidance_scale),
-                    donate_argnums=(1,))
+            if traced:
+                key = ("ddim", shape, "traced", length)
+                if key not in self._jit_cache:
+                    self._jit_cache[key] = jax.jit(
+                        lambda p, i, r, t, c, w, phi: self._ddim_scan(
+                            p, i, r, t, c, w, cfg_rescale=phi),
+                        donate_argnums=(1,))
+            else:
+                key = ("ddim", shape, guidance_scale, cfg_rescale, length)
+                if key not in self._jit_cache:
+                    self._jit_cache[key] = jax.jit(
+                        lambda p, i, r, t, c: self._ddim_scan(
+                            p, i, r, t, c, guidance_scale,
+                            cfg_rescale=cfg_rescale),
+                        donate_argnums=(1,))
             return self._jit_cache[key]
 
         for start in range(0, len(pairs), k):
             chunk = pairs[start:start + k]
+            extra = (w_op, phi_op) if traced else ()
             img, rng = chunk_fn(len(chunk))(params, img, rng,
-                                            jnp.asarray(chunk), cond)
+                                            jnp.asarray(chunk), cond, *extra)
         return unnormalize_img(img)
 
-    def sample(self, params, rng, cond, guidance_scale: float = 1.0,
-               batch_size: int = 16, inside_jit: bool = False):
+    def sample(self, params, rng, cond, guidance_scale=1.0,
+               batch_size: int = 16, inside_jit: bool = False,
+               cfg_rescale=None):
         """Dispatch DDPM vs DDIM by sampling_timesteps (vddp.py:977-984).
         Returns videos in [0, 1], shape (b, F, H, W, C). Pass inside_jit=True
         when tracing this call under an outer jit with scan_chunk_size set —
-        the chain then runs as one fused scan instead of host-driven chunks."""
+        the chain then runs as one fused scan instead of host-driven chunks.
+        guidance_scale/cfg_rescale: Python floats compile the value in (the
+        historical behavior); jax scalars become traced operands of one
+        shared chunk program (see guided_eps)."""
         b = cond.shape[0] if cond is not None else batch_size
         shape = self._video_shape(b)
         fn = self.ddim_sample if self.is_ddim_sampling else self.p_sample_loop
         return fn(params, rng, shape, cond, guidance_scale,
-                  inside_jit=inside_jit)
+                  inside_jit=inside_jit, cfg_rescale=cfg_rescale)
 
     def interpolate(self, params, rng, x1, x2, t: Optional[int] = None,
                     lam: float = 0.5, guidance_scale: float = 1.0,

@@ -399,15 +399,18 @@ class Trainer:
 
     # ---------------------------------------------------------- target eval
     def eval_target(self, target_labels_dir: str | Path,
-                    guidance_scale: Optional[float] = None,
-                    num_preds: int = 1):
+                    guidance_scale=None,
+                    num_preds: int = 1, cfg_rescale=None):
         """Guided generation for given target stress-strain curves
         (vddp.py:1755-1845)."""
         guidance_scale = guidance_scale if guidance_scale is not None \
             else self.tcfg.guidance_scale
         step = int(self.state.step)
 
-        mode = f"eval_target_w_{guidance_scale}"
+        w_label = (float(guidance_scale)
+                   if isinstance(guidance_scale, jax.Array) else
+                   guidance_scale)
+        mode = f"eval_target_w_{w_label}"
         eval_idx = 0
         while (self.results_folder / f"{mode}_{eval_idx}"
                / f"step_{step}").exists():
@@ -434,7 +437,8 @@ class Trainer:
         num_samples = len(cond)
         cond_rep = np.repeat(cond, num_preds, axis=0)
 
-        videos = self.sample_videos(cond_rep, guidance_scale)
+        videos = self.sample_videos(cond_rep, guidance_scale,
+                                    cfg_rescale=cfg_rescale)
         if jax.process_index() == 0:       # artifacts written once
             save_preds(videos, mode_dir, self.selected_channels,
                        num_samples=num_samples,
@@ -444,25 +448,47 @@ class Trainer:
         return mode_dir
 
     # -------------------------------------------------------------- sampling
-    def _get_sample_fn(self, batch: int, guidance_scale: float):
+    def _get_sample_fn(self, batch: int, guidance_scale, cfg_rescale=None):
+        """Jitted sampling fn. Python-float knobs are compiled in (the
+        historical programs, byte-identical); jax-scalar knobs become traced
+        operands so (w, phi) sweep arms share ONE compiled program."""
         if self.diffusion.scan_chunk_size:
             # chunked sampler drives its own jitted scan segments; an outer
             # jit would fuse them back into one long program
             return lambda p, r, c: self.diffusion.sample(
-                p, r, c, guidance_scale=guidance_scale)
-        key = (batch, guidance_scale)
+                p, r, c, guidance_scale=guidance_scale,
+                cfg_rescale=cfg_rescale)
+        traced = (isinstance(guidance_scale, jax.Array)
+                  or isinstance(cfg_rescale, jax.Array))
+        if traced:
+            key = (batch, "traced")
+            if key not in self._sample_fns:
+                self._sample_fns[key] = jax.jit(
+                    lambda p, r, c, w, phi: self.diffusion.sample(
+                        p, r, c, guidance_scale=w, inside_jit=True,
+                        cfg_rescale=phi),
+                    in_shardings=(self._repl, None, self._bsh, None, None),
+                )
+            jitted = self._sample_fns[key]
+            phi = (self.diffusion.cfg_rescale if cfg_rescale is None
+                   else cfg_rescale)
+            w_op = jnp.asarray(guidance_scale, jnp.float32)
+            phi_op = jnp.asarray(phi, jnp.float32)
+            return lambda p, r, c: jitted(p, r, c, w_op, phi_op)
+        key = (batch, guidance_scale, cfg_rescale)
         if key not in self._sample_fns:
             fn = jax.jit(
                 lambda p, r, c: self.diffusion.sample(
-                    p, r, c, guidance_scale=guidance_scale, inside_jit=True),
+                    p, r, c, guidance_scale=guidance_scale, inside_jit=True,
+                    cfg_rescale=cfg_rescale),
                 in_shardings=(self._repl, None, self._bsh),
             )
             self._sample_fns[key] = fn
         return self._sample_fns[key]
 
     def sample_videos(self, cond: np.ndarray,
-                      guidance_scale: Optional[float] = None,
-                      use_ema: bool = True) -> np.ndarray:
+                      guidance_scale=None,
+                      use_ema: bool = True, cfg_rescale=None) -> np.ndarray:
         """EMA-sampled videos for a conditioning batch, device-sharded over
         the mesh; replaces the broadcast/shard/gather dance of
         vddp.py:1722-1753."""
@@ -473,7 +499,7 @@ class Trainer:
         outs = []
         self.rng, rng = jax.random.split(self.rng)
         padded, n = pad_to_multiple(np.asarray(cond, np.float32), chunk)
-        fn = self._get_sample_fn(chunk, guidance_scale)
+        fn = self._get_sample_fn(chunk, guidance_scale, cfg_rescale)
         for i in range(0, len(padded), chunk):
             rng, sub = jax.random.split(rng)
             c = jax.device_put(padded[i:i + chunk], self._bsh)
