@@ -58,6 +58,11 @@ def main(argv=None):
     p.add_argument("--load-model-step", type=int, default=None)
     p.add_argument("--num-preds", type=int, default=1)
     p.add_argument("--guidance-scale", type=float, default=5.0)
+    p.add_argument("--guidance-arms", default=None,
+                   help="comma list of w[:phi] guided-eval arms, e.g. "
+                        "'5,2,5:0.7'. Arms run as TRACED operands of one "
+                        "shared compiled sampling program (no per-arm "
+                        "recompile); overrides --guidance-scale for eval")
     p.add_argument("--cfg-rescale", type=float, default=None,
                    help="CFG-rescale phi (Lin et al. 2023) for sampling; "
                         "overrides the config (incl. a frozen resume "
@@ -143,9 +148,22 @@ def main(argv=None):
     elif args.load_model_step is not None:
         trainer.load(args.load_model_step)
     if not args.skip_eval_target:
-        trainer.eval_target(target_labels,
-                            guidance_scale=args.guidance_scale,
-                            num_preds=args.num_preds)
+        if args.guidance_arms:
+            # traced (w, phi) operands: every arm reuses the ONE compiled
+            # sampling program (GaussianDiffusion.guided_eps doc)
+            import jax.numpy as jnp
+            for arm in args.guidance_arms.split(","):
+                parts = arm.split(":")
+                w = float(parts[0])
+                phi = float(parts[1]) if len(parts) > 1 else 0.0
+                out = trainer.eval_target(
+                    target_labels, guidance_scale=jnp.float32(w),
+                    num_preds=args.num_preds, cfg_rescale=jnp.float32(phi))
+                print(f"guidance arm w={w} phi={phi} -> {out}")
+        else:
+            trainer.eval_target(target_labels,
+                                guidance_scale=args.guidance_scale,
+                                num_preds=args.num_preds)
     return 0
 
 
