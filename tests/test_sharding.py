@@ -102,3 +102,14 @@ def test_sampling_sharded_equals_replicated(setup):
     out_8 = np.asarray(fn(jax.device_put(params, repl), rng,
                           jax.device_put(jnp.asarray(cond), bsh)))
     np.testing.assert_allclose(out_1, out_8, rtol=2e-3, atol=2e-3)
+
+    # traced (w, phi) operands through the SHARDED program — the Trainer's
+    # sweep path (replicated scalars, batch-sharded cond) must reproduce
+    # the compiled-in-constant program bit-exactly
+    fn_t = jax.jit(lambda p, r, c, w, phi: diffusion.sample(
+        p, r, c, guidance_scale=w, inside_jit=True, cfg_rescale=phi),
+        in_shardings=(repl, None, bsh, None, None))
+    out_t = np.asarray(fn_t(jax.device_put(params, repl), rng,
+                            jax.device_put(jnp.asarray(cond), bsh),
+                            jnp.float32(2.0), jnp.float32(0.0)))
+    np.testing.assert_array_equal(out_8, out_t)
