@@ -37,7 +37,17 @@ def main():
     ap.add_argument("--arms", default="4:64,8:64,16:64,4:128,8:128")
     ap.add_argument("--rounds", type=int, default=3)
     ap.add_argument("--salt", type=int, default=os.getpid() % 100_000)
+    ap.add_argument("--log", default="/tmp/batch_chunk_sweep.log",
+                    help="line-flushed progress log — survives the parent "
+                         "being killed (a '| tail' pipe does NOT: it "
+                         "buffers everything until exit)")
     args = ap.parse_args()
+
+    logf = open(args.log, "a", buffering=1)
+
+    def say(msg):
+        print(msg, flush=True)
+        logf.write(msg + "\n")
 
     from videometamaterials_tpu.config import ModelConfig
     from videometamaterials_tpu.diffusion import GaussianDiffusion
@@ -67,7 +77,7 @@ def main():
         t0 = time.perf_counter()
         jax.block_until_ready(d.sample(params, rng, conds[b],
                                        guidance_scale=5.0))
-        print(f"warm b{b} c{c}: {time.perf_counter()-t0:.1f}s", flush=True)
+        say(f"warm b{b} c{c}: {time.perf_counter()-t0:.1f}s")
 
     best = {}
     for i in range(args.rounds):
@@ -80,11 +90,10 @@ def main():
             dt = time.perf_counter() - t0
             key = (b, c)
             best[key] = min(best.get(key, float("inf")), dt)
-            print(f"round {i} b{b} c{c}: {dt:.2f}s "
-                  f"({b*60/dt:.2f} videos/min)", flush=True)
+            say(f"round {i} b{b} c{c}: {dt:.2f}s "
+                f"({b*60/dt:.2f} videos/min)")
     for (b, c), dt in sorted(best.items()):
-        print(f"BEST b{b} c{c}: {dt:.2f}s -> {b*60/dt:.2f} videos/min",
-              flush=True)
+        say(f"BEST b{b} c{c}: {dt:.2f}s -> {b*60/dt:.2f} videos/min")
 
 
 if __name__ == "__main__":
