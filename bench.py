@@ -1,5 +1,6 @@
 #!/usr/bin/env python
-"""Headline benchmark: guided sample generation throughput.
+"""Headline benchmark: guided sample generation throughput + training
+step throughput.
 
 Reference baseline (BASELINE.md): a batch of 4 conditioned videos, DDPM 256
 steps, classifier-free guidance w=5, takes ~1 minute on an RTX 6000
@@ -7,7 +8,15 @@ steps, classifier-free guidance w=5, takes ~1 minute on an RTX 6000
 UNet3D, 3x11x96x96, 256 ancestral steps, CFG pair folded into one batched
 forward) on one TPU chip and reports videos/min/chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+It also measures the fused training step (loss+grad+Adam+EMA at the
+reference's global batch 4, model.yaml:2, on the shipping XLA train plans —
+BASELINE.md:27 names train steps/sec a target metric; the reference
+publishes no number for it, so vs_baseline is null) as a scan-chained
+probe per the BENCH_NOTES methodology (fresh salted data per step — the
+relay memoizes identical executions).
+
+Prints one JSON line per metric; the LAST line is the headline
+guided-sampling metric: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
@@ -104,6 +113,63 @@ def main():
         elapsed = min(elapsed, time.perf_counter() - t0)
 
     videos_per_min = BATCH * 60.0 / elapsed
+
+    # ---- training throughput (VERDICT r4 ask #4): jitted fused train step
+    # (loss+grad+Adam+EMA) at global batch 4 on the XLA train plans — the
+    # exact configuration Trainer trains with (plan split, BENCH_NOTES) —
+    # timed as a scan chain so the relay cannot memoize repeated steps.
+    import optax
+
+    train_cfg = ModelConfig()       # XLA plans (fused blocks are
+    train_model = UNet3D.from_config(train_cfg)   # sampling-only)
+    train_diff = GaussianDiffusion.from_config(train_model, train_cfg)
+    tx = optax.adam(train_cfg.learning_rate)
+    TRAIN_BATCH = 4                 # reference global batch (model.yaml:2)
+    ITERS = 8
+
+    def one_step(carry, i):
+        p, opt_state, ema = carry
+        step_rng = jax.random.fold_in(rng, i)
+        videos = jax.random.uniform(
+            step_rng, (TRAIN_BATCH, cfg.num_frames, cfg.image_size,
+                       cfg.image_size, cfg.channels))
+        labels = jax.random.normal(step_rng, (TRAIN_BATCH, cfg.num_frames))
+        loss, grads = jax.value_and_grad(
+            lambda q: train_diff.loss(q, step_rng, videos, labels,
+                                      null_cond_prob=0.1))(p)
+        updates, opt_state = tx.update(grads, opt_state, p)
+        p = optax.apply_updates(p, updates)
+        ema = jax.tree.map(lambda e, q: e * 0.995 + 0.005 * q, ema, p)
+        return (p, opt_state, ema), loss
+
+    @jax.jit
+    def train_chain(p, opt_state, ema, salt):
+        (p, opt_state, ema), losses = jax.lax.scan(
+            one_step, (p, opt_state, ema), salt + jnp.arange(ITERS))
+        return p, opt_state, ema, losses
+
+    # same param tree as the fused plans (models/unet3d.py _RawKernel)
+    opt_state = jax.jit(tx.init)(params)
+    ema = jax.tree.map(jnp.copy, params)
+    state = (params, opt_state, ema)
+    # warmup/compile (salted so later timed runs see fresh data)
+    p_, o_, e_, losses = train_chain(*state, jnp.int32(10_000))
+    jax.block_until_ready(losses)
+    state = (p_, o_, e_)
+    step_time = float("inf")
+    for i in range(n_runs):
+        t0 = time.perf_counter()
+        p_, o_, e_, losses = train_chain(*state, jnp.int32((i + 1) * ITERS))
+        jax.block_until_ready(losses)
+        state = (p_, o_, e_)
+        step_time = min(step_time, (time.perf_counter() - t0) / ITERS)
+
+    print(json.dumps({
+        "metric": "train_steps_per_sec",
+        "value": round(1.0 / step_time, 2),
+        "unit": f"steps/s (global batch {TRAIN_BATCH})",
+        "vs_baseline": None,
+    }))
     print(json.dumps({
         "metric": "guided_videos_per_min_per_chip",
         "value": round(videos_per_min, 2),

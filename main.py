@@ -87,6 +87,15 @@ def main(argv=None):
     p.add_argument("--test-batch-size", type=int, default=2,
                    help="eval/sampling batch per device (halved like the "
                         "reference, vddp.py:1460)")
+    p.add_argument("--fidelity-probe", default=None,
+                   help="target_responses.csv path: guided-sample a tiny "
+                        "fixed arm at every milestone and log its best-of-N "
+                        "pixel-curve NRMSE next to the val loss (checkpoint "
+                        "selection signal; see Trainer.fidelity_probe)")
+    p.add_argument("--fidelity-probe-targets", type=int, default=2,
+                   help="number of probe targets (first N rows)")
+    p.add_argument("--fidelity-probe-preds", type=int, default=2,
+                   help="predictions per probe target (best-of-N)")
     p.add_argument("--no-log", action="store_true")
     p.add_argument("--skip-train", action="store_true")
     p.add_argument("--skip-eval-target", action="store_true",
@@ -129,6 +138,9 @@ def main(argv=None):
         seed=args.seed,
         log=not args.no_log,
         test_batch_size=args.test_batch_size,
+        fidelity_probe_targets=args.fidelity_probe,
+        fidelity_probe_n_targets=args.fidelity_probe_targets,
+        fidelity_probe_preds=args.fidelity_probe_preds,
     )
 
     data_root = Path(args.data_root)

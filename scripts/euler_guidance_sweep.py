@@ -57,6 +57,10 @@ def main():
     p.add_argument("--arms", default=None,
                    help="comma list of step:w[:phi] triples, "
                         "e.g. 6000:2,8000:5:0.7")
+    p.add_argument("--sampling-timesteps", type=int, default=None,
+                   help="override sampling_timesteps for every arm (DDIM "
+                        "iff < train_timesteps, vddp.py:909-911) — the "
+                        "round-5 DDIM-at-tuned-(w,phi) arms")
     args = p.parse_args()
 
     arms = ARMS
@@ -69,6 +73,9 @@ def main():
 
     run_dir = Path(args.runs_root) / args.run
     base_config = load_model_yaml(run_dir / "model" / "model.yaml")
+    if args.sampling_timesteps is not None:
+        base_config = base_config.replace(
+            sampling_timesteps=args.sampling_timesteps)
     tcfg = TrainerConfig(log=False, test_batch_size=16,
                          num_preds=args.num_preds)
 
@@ -84,10 +91,16 @@ def main():
                     str(run_dir), args.run)
 
     targets = str(data_root / "target_responses.csv")
+    steps_tag = (f" steps={args.sampling_timesteps}"
+                 if args.sampling_timesteps is not None else "")
+    from persist_demo_ckpt import is_cache_restored
     loaded = None
     for step, w, phi in arms:
         if loaded != step:
-            trainer.load(step)
+            # a checkpoint restored from the durable ckpt_cache carries only
+            # the EMA tree (no optimizer) -> tolerant restore
+            trainer.load(step,
+                         strict=not is_cache_restored(run_dir, step))
             loaded = step
         t0 = time.time()
         # jax-scalar knobs = traced operands: EVERY (w, phi) arm reuses the
@@ -96,7 +109,7 @@ def main():
                                   guidance_scale=jnp.float32(w),
                                   num_preds=args.num_preds,
                                   cfg_rescale=jnp.float32(phi))
-        print(f"[sweep] step={step} w={w} phi={phi} -> {out} "
+        print(f"[sweep] step={step} w={w} phi={phi}{steps_tag} -> {out} "
               f"in {time.time()-t0:.0f}s", flush=True)
 
 

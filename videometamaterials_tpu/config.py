@@ -145,6 +145,16 @@ class TrainerConfig:
     prob_focus_present: float = 0.0
     checkpoint_backend: str = "msgpack"   # 'msgpack' | 'orbax' (async)
     keep_last_checkpoints: int | None = None  # None = keep every milestone
+    # Milestone guided-fidelity probe: guided fidelity wanders ~3x across
+    # checkpoints while val loss is flat (BENCH_NOTES rounds 3-4), so every
+    # milestone guided-samples a fixed tiny arm (n_targets x n_preds at the
+    # shipping guidance scale, traced (w, phi) operands) and logs its
+    # best-of-N pixel-curve NRMSE next to the validation loss — checkpoint
+    # selection no longer needs a post-hoc sweep (improves on the val-loss-
+    # only milestone signal of vddp.py:1674-1753).
+    fidelity_probe_targets: str | None = None  # target_responses.csv path
+    fidelity_probe_n_targets: int = 2
+    fidelity_probe_preds: int = 2
 
     def replace(self, **kw) -> "TrainerConfig":
         return dataclasses.replace(self, **kw)

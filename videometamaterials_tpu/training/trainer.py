@@ -357,6 +357,8 @@ class Trainer:
 
         val_loss = self.validation_loss()
         self._log({"step": step, "validation loss": val_loss})
+        if self.tcfg.fidelity_probe_targets:
+            self.fidelity_probe()
         n_val = len(self.ds_test)
 
         if num_samples > 0:
@@ -397,6 +399,59 @@ class Trainer:
             count += n_real
         return total / count if count else float("nan")
 
+    # -------------------------------------------------------- fidelity probe
+    def fidelity_probe(self):
+        """Cheap in-training guided-fidelity signal: guided-sample a fixed
+        tiny arm (fidelity_probe_n_targets x fidelity_probe_preds at the
+        shipping guidance scale) and log its best-of-N pixel-curve NRMSE to
+        metrics.jsonl next to the validation loss. Guided fidelity wanders
+        ~3x across milestones at FLAT val loss (BENCH_NOTES rounds 3-4), so
+        checkpoint selection needs this signal in-loop, not a post-hoc
+        sweep. Uses TRACED (w, phi) operands so all milestones — and any
+        later (w, phi) sweep arms at the same batch shape — share ONE
+        compiled sampling program."""
+        tcfg = self.tcfg
+        step = int(self.state.step)
+        targets = np.genfromtxt(tcfg.fidelity_probe_targets, delimiter=",")
+        if targets.ndim == 1:
+            targets = targets[None, :]
+        targets = targets[:tcfg.fidelity_probe_n_targets]
+        # scoring always compares at frame resolution (the protocol of
+        # scripts/eval_demo_quality.py); conditioning takes the model's
+        # native label shape (per-frame or the [:, 1:] curve tail)
+        if targets.shape[1] != self.num_frames:
+            score_targets = interpolate_labels(targets, self.num_frames)
+        else:
+            score_targets = targets
+        cond_src = score_targets if self.per_frame_cond else targets[:, 1:]
+        cond = self.ds.labels_scaling.normalize(
+            cond_src.astype(np.float32)).astype(np.float32)
+        cond_rep = np.repeat(cond, tcfg.fidelity_probe_preds, axis=0)
+        t0 = time.time()
+        videos = self.sample_videos(
+            cond_rep, jnp.float32(tcfg.guidance_scale),
+            cfg_rescale=jnp.float32(self.diffusion.cfg_rescale or 0.0))
+        if jax.process_index() != 0:
+            return None
+        mode_dir = (self.results_folder / "training" / f"step_{step}"
+                    / "fidelity_probe")
+        (mode_dir / "gifs").mkdir(parents=True, exist_ok=True)
+        save_preds(videos, mode_dir, self.selected_channels,
+                   num_samples=len(targets),
+                   reference_frame=self.reference_frame,
+                   num_frames=self.num_frames, zero_u_2=self.ds.zero_u_2)
+        from videometamaterials_tpu.training.fidelity import score_gifs_dir
+
+        nrmse, per_target = score_gifs_dir(
+            mode_dir / "gifs", self.ds.folder / "frame_range_data.csv",
+            score_targets, tcfg.fidelity_probe_preds, self.reference_frame)
+        self._log({"step": step, "fidelity probe NRMSE": nrmse,
+                   "fidelity probe per target": per_target})
+        print(f"fidelity probe: best-of-{tcfg.fidelity_probe_preds} NRMSE "
+              f"{nrmse:.3f} over {len(targets)} targets "
+              f"({time.time() - t0:.0f}s)")
+        return nrmse
+
     # ---------------------------------------------------------- target eval
     def eval_target(self, target_labels_dir: str | Path,
                     guidance_scale=None,
@@ -410,7 +465,15 @@ class Trainer:
         w_label = (float(guidance_scale)
                    if isinstance(guidance_scale, jax.Array) else
                    guidance_scale)
+        # phi rides in the directory name so (w, phi) sweep outputs are
+        # self-describing; phi=0 keeps the reference-exact name
+        # eval_target_w_<w>_<i> (dir contract vddp.py:1768-1775)
+        phi_eff = (self.diffusion.cfg_rescale if cfg_rescale is None
+                   else cfg_rescale)
+        phi_label = float(phi_eff) if phi_eff is not None else 0.0
         mode = f"eval_target_w_{w_label}"
+        if phi_label != 0.0:
+            mode += f"_phi_{phi_label}"
         eval_idx = 0
         while (self.results_folder / f"{mode}_{eval_idx}"
                / f"step_{step}").exists():
