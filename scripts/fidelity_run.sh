@@ -35,6 +35,9 @@ STEP=${3:-8000}
 ARMS=${4:-${STEP}:5,${STEP}:3,${STEP}:2,${STEP}:1.5,${STEP}:1,${STEP}:5:0.7,${STEP}:5:0.5}
 REPORT=${5:-quality_report_r5}
 RUNS_ROOT=${RUNS_ROOT:-runs_demo}
+# eulerian runs need the eulerian model config (reference_frame lives in the
+# yaml, not a main.py flag): CONFIG=model_euler.yaml bash scripts/fidelity_run.sh ...
+CONFIG=${CONFIG:-model.yaml}
 DDIM_STEPS=${DDIM_STEPS:-}
 DDIM_ARMS=${DDIM_ARMS:-}
 
@@ -75,7 +78,7 @@ if [ ! -d "$MODEL_DIR/step_$STEP" ]; then
   fi
   echo "[fidelity_run] training $RUN to $STEP (milestones log val loss + guided fidelity probe)"
   # shellcheck disable=SC2086
-  python -u main.py --run-name "$RUN" --config model.yaml \
+  python -u main.py --run-name "$RUN" --config "$CONFIG" \
     --data-root "$DATA" --runs-root "$RUNS_ROOT" $RESUME \
     --train-num-steps "$STEP" --save-and-sample-every 2000 \
     --num-samples 0 --test-batch-size 16 --no-log --skip-eval-target \

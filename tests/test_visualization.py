@@ -100,3 +100,67 @@ def test_load_frame_ranges_single_row_trailing_delimiter(tmp_path):
     u_ranges, (lo, hi) = load_frame_ranges(str(f), "eulerian")
     assert u_ranges is None
     assert (lo, hi) == (2.0, 3.0)
+
+
+# ---------------------------------------------------------------- robust topo
+def _synthetic_u2(offset: int = 0):
+    """(F, 96, 96) uint8 u2 channel of a mirrored GRF-like cell: voids at
+    the zero-displacement level (255), solids descending over frames, the
+    whole video optionally shifted down by `offset` levels (the painted-void
+    drift of lightly-trained generated videos)."""
+    rng = np.random.default_rng(3)
+    q = (rng.random((48, 48)) < 0.4).astype(float)
+    top = np.concatenate([q, np.flip(q, 0)], 0)
+    cell = np.concatenate([top, np.flip(top, 1)], 1)
+    t = np.linspace(0, 1, 11)[:, None, None]
+    u2 = 255.0 * (1.0 - 0.8 * t * cell[None])
+    return np.clip(u2 - offset, 0, 255).astype(np.uint8), cell
+
+
+def test_reconstruct_topology_robust_recovers_offset_video():
+    """The temporal-contrast rule recovers the geometry exactly even when
+    the painted values carry a global offset that defeats the reference
+    zero-level rule (the round-5 constant-gain artifact)."""
+    from videometamaterials_tpu.postproc.visualization import (
+        reconstruct_topology,
+        reconstruct_topology_robust,
+    )
+
+    u2, cell = _synthetic_u2(offset=30)
+    ref = reconstruct_topology(u2, min_u_2=-0.2, max_u_2=0.0)
+    assert ref.mean() == 1.0          # reference rule: degenerate all-solid
+    robust = reconstruct_topology_robust(u2)
+    np.testing.assert_array_equal(robust, cell)
+
+
+def test_reconstruct_topology_robust_degenerate_returns_all_solid():
+    from videometamaterials_tpu.postproc.visualization import (
+        reconstruct_topology_robust,
+    )
+
+    flat = np.full((11, 96, 96), 200, np.uint8)   # motionless video
+    assert reconstruct_topology_robust(flat).mean() == 1.0
+
+
+def test_load_cell_fields_auto_prefers_reference_rule(tmp_path):
+    """On well-painted videos the reference rule already yields a plausible
+    mask and auto mode must NOT swap it out; on offset videos auto falls
+    back to the temporal-contrast mask."""
+    import imageio.v2 as imageio
+
+    from videometamaterials_tpu.postproc.visualization import load_cell_fields
+
+    fr = tmp_path / "frame_range_data.csv"
+    np.savetxt(fr, np.array([[0.0, 0.05, -0.2, 0.0, 1.0, -1.0, 0.0, 1.0]]),
+               delimiter=",")
+
+    for offset, expect_rho in ((0, None), (30, None)):
+        u2, cell = _synthetic_u2(offset=offset)
+        d = tmp_path / f"off{offset}"
+        (d / "gifs").mkdir(parents=True)
+        for c in (0, 1, 3):
+            imageio.mimsave(d / "gifs" / f"prediction_channel_{c}.gif",
+                            list(u2), duration=0.2)
+        fields = load_cell_fields(str(d / "gifs") + "/", str(fr), 0, 0,
+                                  ref_frame="lagrangian")
+        np.testing.assert_array_equal(fields["mask"][0].astype(float), cell)

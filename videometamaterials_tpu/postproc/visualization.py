@@ -82,6 +82,40 @@ def reconstruct_topology(u2_uint8: np.ndarray, min_u_2: float,
     return np.concatenate([topology, np.flip(topology, axis=1)], axis=1)
 
 
+def reconstruct_topology_robust(u2_uint8: np.ndarray) -> np.ndarray:
+    """Temporal-contrast topology fallback for imperfect generated videos.
+
+    The reference rule (`reconstruct_topology`, src/utils.py:341-351)
+    classifies a pixel as void iff its normalized u2 sits at the
+    zero-displacement level in EVERY frame (atol 0.02 ~ 5 uint8 levels).
+    Generated videos from lightly-trained models paint voids with a global
+    offset/drift far beyond that tolerance, collapsing the mask to
+    all-solid; the un-zeroed void pixels then leak compressive stress into
+    the pixel-curve mean as a near-constant multiplicative gain (the
+    round-5 BENCH_NOTES constant-gain artifact: measured 1.55x across all
+    guidance scales). This fallback classifies by per-pixel temporal
+    CONTRAST instead — void pixels carry (near-)constant u2 across frames
+    while solid pixels displace progressively under compression — which is
+    invariant to any per-video affine distortion of the painted values:
+
+        range(x, y) = max_f u2[f, x, y] - min_f u2[f, x, y]
+        solid(x, y) = range(x, y) > (p20(range) + p80(range)) / 2
+
+    evaluated on the upper-left quarter and 2-fold mirrored like the
+    reference rule. Degenerate inputs (contrast spread < 5 uint8 levels,
+    e.g. single-frame ablations or motionless videos) return all-solid so
+    an `auto`-mode caller keeps the reference-rule result."""
+    pixels = u2_uint8.shape[-1]
+    q = u2_uint8[:, :pixels // 2, :pixels // 2].astype(np.float64)
+    rng = q.max(axis=0) - q.min(axis=0)
+    p20, p80 = np.percentile(rng, (20.0, 80.0))
+    if p80 - p20 < 5.0:
+        return np.ones((pixels, pixels))
+    topology = (rng > 0.5 * (p20 + p80)).astype(float)
+    topology = np.concatenate([topology, np.flip(topology, axis=0)], axis=0)
+    return np.concatenate([topology, np.flip(topology, axis=1)], axis=1)
+
+
 def estimate_stress_strain(pred_phys: np.ndarray,
                            ref_frame: str) -> tuple[np.ndarray, np.ndarray]:
     """Pixel-estimated stress-strain curve from the physical s22 field
@@ -105,11 +139,19 @@ def estimate_stress_strain(pred_phys: np.ndarray,
 
 
 def load_cell_fields(path: str, frame_ranges: str, row: int, col: int,
-                     ref_frame: str, atol: float = 0.02):
+                     ref_frame: str, atol: float = 0.02,
+                     topo_mode: str = "auto"):
     """Crop one grid cell's channels and return physical-space fields:
     dict with 's22' (void-zeroed physical sigma_22), 'mask' (F,H,W solid),
     's22_range' (global min/max), and — lagrangian — integer pixel shift
-    maps 'shift_x'/'shift_y' for the Eulerian remap."""
+    maps 'shift_x'/'shift_y' for the Eulerian remap.
+
+    topo_mode (lagrangian only): 'reference' = the exact zero-u2 rule
+    (src/utils.py:341-351); 'robust' = temporal-contrast reconstruction
+    (`reconstruct_topology_robust`); 'auto' (default) = reference rule,
+    falling back to robust when the reference mask is degenerate (> 90%
+    solid — physically impossible for the GRF material family and the
+    signature of the void-level rule finding no voids)."""
     s_22_idx = 2 if ref_frame == "eulerian" else 3
     u_ranges, (s22_min, s22_max) = load_frame_ranges(frame_ranges, ref_frame)
 
@@ -128,6 +170,9 @@ def load_cell_fields(path: str, frame_ranges: str, row: int, col: int,
         u2_uint8 = crop_gif(path + "prediction_channel_1.gif", row, col,
                             save=False)
         topo = reconstruct_topology(u2_uint8, min_u_2, max_u_2, atol)
+        if topo_mode == "robust" or (topo_mode == "auto"
+                                     and topo.mean() > 0.9):
+            topo = reconstruct_topology_robust(u2_uint8)
         mask = np.repeat(topo[None].astype(bool), len(u2_uint8), axis=0)
         u_1 = _unnorm(_norm(u1_uint8, 0, 255), min_u_1, max_u_1)
         u_2 = _unnorm(_norm(u2_uint8, 0, 255), min_u_2, max_u_2)
