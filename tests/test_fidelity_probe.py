@@ -63,6 +63,19 @@ def test_eval_target_phi_in_dir_name(tiny_trainer, tmp_path):
     assert "phi" not in str(out0)
 
 
+def test_eval_target_labels_unleak_float32(tiny_trainer, tmp_path):
+    """(w, phi) arriving as float32 jax scalars (the traced-operand sweep
+    path) must not leak the f32 repr into dir names — phi=0.7 used to
+    produce eval_target_w_5.0_phi_0.699999988079071_0."""
+    import jax.numpy as jnp
+
+    trainer, _ = tiny_trainer
+    tfile = _targets_csv(tmp_path / "targets32.csv")
+    out = trainer.eval_target(tfile, guidance_scale=jnp.float32(1.5),
+                              num_preds=1, cfg_rescale=jnp.float32(0.7))
+    assert "eval_target_w_1.5_phi_0.7_0" in str(out)
+
+
 def test_fidelity_probe_logs_nrmse(tiny_trainer, tmp_path, monkeypatch):
     """The milestone probe guided-samples a tiny arm, writes artifacts under
     training/step_<N>/fidelity_probe and logs best-of-N NRMSE to

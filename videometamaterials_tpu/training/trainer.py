@@ -462,7 +462,7 @@ class Trainer:
             else self.tcfg.guidance_scale
         step = int(self.state.step)
 
-        w_label = (float(guidance_scale)
+        w_label = (float(f"{float(guidance_scale):.6g}")
                    if isinstance(guidance_scale, jax.Array) else
                    guidance_scale)
         # phi rides in the directory name so (w, phi) sweep outputs are
@@ -470,7 +470,7 @@ class Trainer:
         # eval_target_w_<w>_<i> (dir contract vddp.py:1768-1775)
         phi_eff = (self.diffusion.cfg_rescale if cfg_rescale is None
                    else cfg_rescale)
-        phi_label = float(phi_eff) if phi_eff is not None else 0.0
+        phi_label = float(f"{float(phi_eff):.6g}") if phi_eff is not None else 0.0
         mode = f"eval_target_w_{w_label}"
         if phi_label != 0.0:
             mode += f"_phi_{phi_label}"
