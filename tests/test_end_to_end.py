@@ -2,6 +2,8 @@
 GaussianDiffusion -> a few sharded train steps -> guided sampling ->
 grid GIFs + geometries.csv through clean_pred. Exercises every layer."""
 
+import json
+
 import numpy as np
 import pytest
 
@@ -148,9 +150,14 @@ def test_milestone_path_inside_train_loop(tiny_run, tmp_path):
             / "checkpoint.msgpack").exists()
     assert (tmp_path / "mile" / "model" / "step_4"
             / "checkpoint.msgpack").exists()
-    # validation loss was logged by the in-loop eval
+    # the FINAL milestone evals too (the probe/val loss selects checkpoints;
+    # the reference loop exits before its last-step eval, vddp.py:1674)
+    assert (tmp_path / "mile" / "training" / "step_4" / "gifs"
+            / "prediction_channel_0.gif").exists()
+    # validation loss was logged by the in-loop eval, incl. the final step
     lines = (tmp_path / "mile" / "metrics.jsonl").read_text().splitlines()
-    assert any("validation loss" in ln for ln in lines)
+    recs = [json.loads(ln) for ln in lines if "validation loss" in ln]
+    assert recs and {r["step"] for r in recs} == {2, 4}
 
 
 def test_strict_false_tolerates_optimizer_mismatch(tiny_run, tmp_path):

@@ -324,8 +324,8 @@ class Trainer:
                 jax.profiler.stop_trace()
                 profiling = False
 
-            if step % tcfg.save_and_sample_every == 0 and \
-                    step < tcfg.train_num_steps:
+            # unlike the reference loop (vddp.py:1674), the FINAL milestone
+            if step % tcfg.save_and_sample_every == 0:  # evals+probes too
                 elapsed = time.strftime(
                     "%H:%M:%S", time.gmtime(time.time() - start_time))
                 print(f"current step: {step}, total time elapsed: {elapsed}")
